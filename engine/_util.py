@@ -1,0 +1,45 @@
+"""Shared numpy helpers for batch scatter/gather of variable-length spans."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cumsum0(lens: np.ndarray) -> np.ndarray:
+    """Exclusive prefix sum: offsets of each span in the concatenation."""
+    out = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out[1:])
+    return out
+
+
+def ramp(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated — per-span local indices."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = cumsum0(lens)[:-1]
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def span_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Global positions of concatenated spans: for each span i the indices
+    starts[i] .. starts[i]+lens[i)-1, concatenated."""
+    lens = np.asarray(lens, dtype=np.int64)
+    return np.repeat(np.asarray(starts, dtype=np.int64), lens) + ramp(lens)
+
+
+def gather_spans(src: np.ndarray, starts: np.ndarray, lens: np.ndarray
+                 ) -> np.ndarray:
+    """Concatenate src[starts[i] : starts[i]+lens[i]] for all i."""
+    if len(lens) == 0:
+        return src[:0]
+    return src[span_positions(starts, lens)]
+
+
+def scatter_spans(dst: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                  values: np.ndarray) -> None:
+    """Write concatenated ``values`` into dst at the given spans."""
+    if len(lens) == 0:
+        return
+    dst[span_positions(starts, lens)] = values
