@@ -4,6 +4,17 @@ from __future__ import annotations
 
 import numpy as np
 
+_ARANGE = np.arange(1 << 16, dtype=np.int64)
+
+
+def arange_cached(n: int) -> np.ndarray:
+    """Read-only 0..n-1 — reuses a growing module-level buffer (arange
+    allocation was a profiled hotspot in the encode planner)."""
+    global _ARANGE
+    if n > _ARANGE.size:
+        _ARANGE = np.arange(max(n, 2 * _ARANGE.size), dtype=np.int64)
+    return _ARANGE[:n]
+
 
 def cumsum0(lens: np.ndarray) -> np.ndarray:
     """Exclusive prefix sum: offsets of each span in the concatenation."""
@@ -19,7 +30,7 @@ def ramp(lens: np.ndarray) -> np.ndarray:
     if total == 0:
         return np.zeros(0, dtype=np.int64)
     starts = cumsum0(lens)[:-1]
-    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    return arange_cached(total) - np.repeat(starts, lens)
 
 
 def span_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:

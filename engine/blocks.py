@@ -1,0 +1,431 @@
+"""Block format: encode/decode Arrow batches of the token table into
+stripe-like encoded block rows (SURVEY.md §2.5 M1/M2/M4/M6, §2.4 T6).
+
+A *block* is the engine's stripe: a horizontal slab of rows encoded
+column-by-column into binary stream blobs plus footer-style metadata
+(min/max/count, encoding kind, symbol tables — BASELINE.json:6),
+emitted as ONE ROW of the blocks table. Mapping (SURVEY.md §1.2):
+
+- ``tokens: array<int32>`` decomposes exactly like an ORC LIST
+  (javap/ListTreeWriter.txt:3,5): the ``n_tok`` column IS the LENGTH
+  stream (RLEv2 unsigned), the flattened int32 values are the child
+  DATA stream (RLEv2 signed = zigzag + frame-of-reference via the
+  writer heuristics, javap/RunLengthIntegerWriterV2.txt:42).
+- string columns run the dictionary-vs-direct selector
+  (orcconf.txt:23, threshold 0.8) extended with FSST (BASELINE.json:6):
+  dictionary when cardinality allows, else FSST when it shrinks the
+  bytes, else DIRECT_V2.
+- nulls become a PRESENT stream (bit-packed + byte-RLE,
+  javap/TreeWriterBase.txt:4,21); value streams hold non-null entries.
+- stride metadata every ``STRIDE_ROWS`` rows records min/max/count for
+  decode-side skipping (RowIndexEntry, orc_proto_descriptor.txt:354).
+
+All kernels are numpy/Arrow vectorized; the Spark layer (jobs/) only
+moves batches.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import fsst, rle1, rle2, strings
+from ._util import cumsum0
+
+STRIDE_ROWS = 10_000  # orc.row.index.stride default (orcconf.txt:5)
+DEFAULT_BLOCK_ROWS = 65_536
+
+KIND_RLEV2 = "RLEV2"
+KIND_DIRECT = "DIRECT_V2"
+KIND_DICT = "DICTIONARY_V2"
+KIND_FSST = "FSST"
+
+_EMPTY = b""
+
+STR_COL_TYPE = pa.struct([
+    ("kind", pa.string()),
+    ("data", pa.large_binary()),
+    ("length", pa.large_binary()),      # RLEv2: row byte-lengths (direct/
+                                        # fsst) or dict key lengths (dict)
+    ("dict", pa.large_binary()),        # dict keys or FSST symbol table
+    ("dict_size", pa.int32()),
+    ("present", pa.large_binary()),     # byte-RLE'd bit-packed validity
+    ("n_nulls", pa.int64()),
+])
+
+INT_COL_TYPE = pa.struct([
+    ("kind", pa.string()),
+    ("data", pa.large_binary()),
+    ("present", pa.large_binary()),
+    ("n_nulls", pa.int64()),
+    ("vmin", pa.int64()),
+    ("vmax", pa.int64()),
+    ("vsum", pa.int64()),
+])
+
+STRIDE_TYPE = pa.struct([
+    ("row0", pa.int64()),
+    ("n_rows", pa.int64()),
+    ("n_values", pa.int64()),
+    ("tok_min", pa.int64()),
+    ("tok_max", pa.int64()),
+])
+
+LINEAGE_TYPE = pa.struct([
+    ("input_part", pa.int32()),
+    ("row_start", pa.int64()),
+    ("n_rows", pa.int64()),
+    ("attempt", pa.int32()),
+    ("wall_ms", pa.float64()),
+    ("in_bytes", pa.int64()),
+    ("out_bytes", pa.int64()),
+])
+
+BLOCKS_SCHEMA = pa.schema([
+    ("block_id", pa.string()),
+    ("part_id", pa.int32()),
+    ("row_start", pa.int64()),
+    ("n_rows", pa.int64()),
+    ("n_values", pa.int64()),
+    ("ntok", INT_COL_TYPE),
+    ("tokens", INT_COL_TYPE),
+    ("doc_id", STR_COL_TYPE),
+    ("source", STR_COL_TYPE),
+    ("strides", pa.list_(STRIDE_TYPE)),
+    ("lineage", LINEAGE_TYPE),
+])
+
+# Spark DDL equivalent of BLOCKS_SCHEMA for mapInArrow
+BLOCKS_DDL = (
+    "block_id string, part_id int, row_start bigint, n_rows bigint, "
+    "n_values bigint, "
+    "ntok struct<kind:string, data:binary, present:binary, n_nulls:bigint, "
+    "vmin:bigint, vmax:bigint, vsum:bigint>, "
+    "tokens struct<kind:string, data:binary, present:binary, "
+    "n_nulls:bigint, vmin:bigint, vmax:bigint, vsum:bigint>, "
+    "doc_id struct<kind:string, data:binary, length:binary, dict:binary, "
+    "dict_size:int, present:binary, n_nulls:bigint>, "
+    "source struct<kind:string, data:binary, length:binary, dict:binary, "
+    "dict_size:int, present:binary, n_nulls:bigint>, "
+    "strides array<struct<row0:bigint, n_rows:bigint, n_values:bigint, "
+    "tok_min:bigint, tok_max:bigint>>, "
+    "lineage struct<input_part:int, row_start:bigint, n_rows:bigint, "
+    "attempt:int, wall_ms:double, in_bytes:bigint, out_bytes:bigint>"
+)
+
+TOKEN_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+TOKEN_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("tokens", pa.list_(pa.int32())),
+    ("n_tok", pa.int32()),
+    ("source", pa.string()),
+])
+
+
+def _present(arr: pa.Array) -> tuple[bytes, int, pa.Array]:
+    """(present_stream, n_nulls, null-stripped array)."""
+    if arr.null_count == 0:
+        return _EMPTY, 0, arr
+    valid = ~np.asarray(arr.is_null())
+    return rle1.encode_bool(valid).tobytes(), int(arr.null_count), \
+        arr.drop_null()
+
+
+def _encode_int_column(values: np.ndarray, present: bytes, n_nulls: int,
+                       with_stats: bool = True) -> dict:
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    out = {"kind": KIND_RLEV2,
+           "data": rle2.encode_rlev2(v, signed=True).tobytes(),
+           "present": present, "n_nulls": n_nulls}
+    if with_stats and v.size:
+        out.update(vmin=int(v.min()), vmax=int(v.max()), vsum=int(v.sum()))
+    else:
+        out.update(vmin=0, vmax=0, vsum=0)
+    return out
+
+
+def _decode_int_column(col: dict, n: int) -> tuple[np.ndarray, np.ndarray | None]:
+    """-> (values, validity_mask or None). ``n`` counts rows incl nulls."""
+    n_nulls = int(col["n_nulls"])
+    vals = rle2.decode_rlev2(
+        np.frombuffer(col["data"], dtype=np.uint8), n - n_nulls, signed=True)
+    if n_nulls == 0:
+        return vals, None
+    valid = rle1.decode_bool(np.frombuffer(col["present"], np.uint8), n)
+    return vals, valid
+
+
+def _encode_str_column(arr: pa.Array, fsst_min_gain: float = 0.95) -> dict:
+    present, n_nulls, arr = _present(arr)
+    n = len(arr)
+    base = {"present": present, "n_nulls": n_nulls}
+    if n == 0:
+        return {"kind": KIND_DIRECT, "data": _EMPTY, "length": _EMPTY,
+                "dict": _EMPTY, "dict_size": 0, **base}
+    enc = strings.encode_strings(arr)
+    if enc["kind"] == KIND_DICT:
+        return {"kind": KIND_DICT, "data": enc["data"].tobytes(),
+                "length": enc["length"].tobytes(),
+                "dict": enc["dict_data"].tobytes(),
+                "dict_size": int(enc["dict_size"]), **base}
+    # high cardinality: FSST vs direct by actual size
+    data, lens = strings.arrow_bytes_lengths(arr)
+    table = fsst.build_table(data, lens)
+    if table.symbols:
+        codes, clens = fsst.encode_fsst(data, lens, table)
+        symtab = table.serialize()
+        if codes.size + symtab.size < data.size * fsst_min_gain:
+            return {"kind": KIND_FSST, "data": codes.tobytes(),
+                    "length": rle2.encode_rlev2(
+                        clens, signed=False).tobytes(),
+                    "dict": symtab.tobytes(), "dict_size": len(table.symbols),
+                    **base}
+    return {"kind": KIND_DIRECT, "data": enc["data"].tobytes(),
+            "length": enc["length"].tobytes(), "dict": _EMPTY,
+            "dict_size": 0, **base}
+
+
+def _decode_str_column(col: dict, n: int) -> tuple[pa.Array, np.ndarray | None]:
+    n_nulls = int(col["n_nulls"])
+    nv = n - n_nulls
+    kind = col["kind"]
+    if kind == KIND_FSST:
+        table = fsst.SymbolTable.deserialize(
+            np.frombuffer(col["dict"], np.uint8))
+        clens = rle2.decode_rlev2(
+            np.frombuffer(col["length"], np.uint8), nv, signed=False)
+        data, lens = fsst.decode_fsst(
+            np.frombuffer(col["data"], np.uint8), clens, table)
+        arr = strings.strings_from_bytes(data, lens)
+    else:
+        arr = strings.decode_strings(
+            {"kind": kind,
+             "data": np.frombuffer(col["data"], np.uint8),
+             "length": np.frombuffer(col["length"], np.uint8),
+             "dict_data": np.frombuffer(col["dict"], np.uint8),
+             "dict_size": int(col["dict_size"])}, nv)
+    if n_nulls == 0:
+        return arr, None
+    valid = rle1.decode_bool(np.frombuffer(col["present"], np.uint8), n)
+    return arr, valid
+
+
+def _with_nulls_str(arr: pa.Array, valid: np.ndarray) -> pa.Array:
+    """Scatter null-stripped strings back to full length with nulls."""
+    n = valid.size
+    idx = np.zeros(n, dtype=np.int64)
+    idx[valid] = np.arange(int(valid.sum()))
+    taken = arr.take(pa.array(idx))
+    return pc.if_else(pa.array(valid), taken, pa.nulls(n, arr.type))
+
+
+def _scatter_nulls_int(vals: np.ndarray, valid: np.ndarray,
+                       dtype) -> pa.Array:
+    n = valid.size
+    full = np.zeros(n, dtype=dtype)
+    full[valid] = vals.astype(dtype)
+    return pa.array(full, mask=~valid)
+
+
+def encode_block(batch: pa.RecordBatch, part_id: int = 0,
+                 block_idx: int = 0, row_start: int = 0,
+                 attempt: int = 0) -> dict:
+    """Encode one slab of token-table rows into a block row (plain dict
+    matching BLOCKS_SCHEMA)."""
+    t0 = time.perf_counter()
+    n = batch.num_rows
+    doc_id = batch.column("doc_id")
+    tokens = batch.column("tokens")
+    n_tok = batch.column("n_tok")
+    source = batch.column("source")
+
+    # tokens: LIST decomposition (T6) — LENGTH stream from offsets,
+    # child DATA stream from flattened values
+    tok_present, tok_nulls, tok_arr = _present(tokens)
+    if isinstance(tok_arr, pa.ChunkedArray):
+        tok_arr = tok_arr.combine_chunks()
+    offsets = np.asarray(tok_arr.offsets, dtype=np.int64)
+    lens = np.diff(offsets)
+    flat = tok_arr.flatten()
+    if flat.null_count:
+        raise ValueError("null token values are not supported")
+    vals = np.asarray(flat, dtype=np.int64)
+
+    # n_tok column: per input_hint it equals size(tokens); verify and
+    # encode once (it IS the LENGTH stream). If it ever diverges,
+    # encode it as its own stream.
+    nt_present, nt_nulls, nt_arr = _present(n_tok)
+    nt_vals = np.asarray(nt_arr, dtype=np.int64)
+    same = (tok_nulls == 0 and nt_nulls == 0
+            and np.array_equal(nt_vals, lens))
+    ntok_col = _encode_int_column(nt_vals, nt_present, nt_nulls)
+    if same:
+        ntok_col["kind"] = KIND_RLEV2 + "=LENGTH"
+        ntok_col["data"] = _EMPTY
+
+    length_col = _encode_int_column(lens, tok_present, tok_nulls,
+                                    with_stats=False)
+    tokens_col = _encode_int_column(vals, _EMPTY, 0)
+    # pack LENGTH stream alongside child DATA: tokens.data carries
+    # [u32 len_of_length_stream][length_stream][values_stream]
+    lb = length_col["data"]
+    tokens_col["data"] = (np.uint32(len(lb)).tobytes() + lb
+                          + tokens_col["data"])
+    tokens_col["present"] = tok_present
+    tokens_col["n_nulls"] = tok_nulls
+
+    doc_col = _encode_str_column(doc_id)
+    src_col = _encode_str_column(source)
+
+    # stride metadata (M2): per STRIDE_ROWS rows
+    strides = []
+    vo = cumsum0(lens)
+    for r0 in range(0, n, STRIDE_ROWS):
+        r1 = min(n, r0 + STRIDE_ROWS)
+        sv = vals[vo[min(r0, len(lens))]: vo[min(r1, len(lens))]] \
+            if len(lens) else vals[:0]
+        strides.append({
+            "row0": int(row_start + r0), "n_rows": int(r1 - r0),
+            "n_values": int(sv.size),
+            "tok_min": int(sv.min()) if sv.size else 0,
+            "tok_max": int(sv.max()) if sv.size else 0})
+
+    in_bytes = sum(
+        buf.size for col in batch.columns for buf in col.buffers() if buf)
+    row = {
+        "block_id": f"p{part_id:06d}b{block_idx:05d}",
+        "part_id": int(part_id), "row_start": int(row_start),
+        "n_rows": int(n), "n_values": int(vals.size),
+        "ntok": ntok_col, "tokens": tokens_col,
+        "doc_id": doc_col, "source": src_col,
+        "strides": strides,
+    }
+    out_bytes = sum(
+        len(c[k]) for c in (ntok_col, tokens_col, doc_col, src_col)
+        for k in ("data", "present") if isinstance(c.get(k), bytes)) + \
+        sum(len(c[k]) for c in (doc_col, src_col)
+            for k in ("length", "dict"))
+    row["lineage"] = {
+        "input_part": int(part_id), "row_start": int(row_start),
+        "n_rows": int(n), "attempt": int(attempt),
+        "wall_ms": (time.perf_counter() - t0) * 1e3,
+        "in_bytes": int(in_bytes), "out_bytes": int(out_bytes)}
+    return row
+
+
+def block_rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
+    """Assemble encoded block rows into a RecordBatch of BLOCKS_SCHEMA."""
+    cols = []
+    for field in BLOCKS_SCHEMA:
+        vals = [r[field.name] for r in rows]
+        cols.append(pa.array(vals, type=field.type))
+    return pa.RecordBatch.from_arrays(cols, schema=BLOCKS_SCHEMA)
+
+
+def decode_block(row: dict) -> pa.RecordBatch:
+    """Inverse of :func:`encode_block`: block row -> original token rows.
+
+    Decode is bit-identity: every token array reproduces elementwise
+    (the BASELINE.json metric)."""
+    n = int(row["n_rows"])
+    tok = row["tokens"]
+    raw = tok["data"]
+    llen = int(np.frombuffer(raw[:4], np.uint32)[0])
+    lstream = np.frombuffer(raw[4: 4 + llen], np.uint8)
+    vstream = np.frombuffer(raw[4 + llen:], np.uint8)
+    tok_nulls = int(tok["n_nulls"])
+    lens = rle2.decode_rlev2(lstream, n - tok_nulls, signed=True)
+    nvals = int(lens.sum())
+    vals = rle2.decode_rlev2(vstream, nvals, signed=True)
+
+    offsets = cumsum0(lens).astype(np.int32)
+    flat = pa.array(vals.astype(np.int32), type=pa.int32())
+    if tok_nulls:
+        valid_t = rle1.decode_bool(
+            np.frombuffer(tok["present"], np.uint8), n)
+        # rebuild offsets over all rows (null rows get empty extent)
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[valid_t] = lens
+        offsets = cumsum0(full_lens).astype(np.int32)
+        tokens_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat,
+            mask=pa.array(~valid_t))
+    else:
+        tokens_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat)
+
+    nt = row["ntok"]
+    if nt["kind"].endswith("=LENGTH"):
+        ntok_arr = pa.array(lens.astype(np.int32), type=pa.int32())
+    else:
+        nt_vals, nt_valid = _decode_int_column(nt, n)
+        ntok_arr = pa.array(nt_vals.astype(np.int32), type=pa.int32()) \
+            if nt_valid is None else _scatter_nulls_int(
+                nt_vals, nt_valid, np.int32)
+
+    doc_arr, doc_valid = _decode_str_column(row["doc_id"], n)
+    if doc_valid is not None:
+        doc_arr = _with_nulls_str(doc_arr, doc_valid)
+    src_arr, src_valid = _decode_str_column(row["source"], n)
+    if src_valid is not None:
+        src_arr = _with_nulls_str(src_arr, src_valid)
+
+    return pa.RecordBatch.from_arrays(
+        [doc_arr.cast(pa.string()), tokens_arr, ntok_arr,
+         src_arr.cast(pa.string())],
+        schema=TOKEN_SCHEMA)
+
+
+def encode_batches(batches, part_id: int = 0,
+                   block_rows: int = DEFAULT_BLOCK_ROWS, attempt: int = 0):
+    """Encode a stream of Arrow batches into blocks-table batches.
+
+    Slices incoming batches into ``block_rows`` slabs; one output
+    RecordBatch (of possibly several block rows) per input batch group.
+    Generator — suitable for ``mapInArrow``.
+    """
+    row_start = 0
+    block_idx = 0
+    pending: list[pa.RecordBatch] = []
+    pending_rows = 0
+
+    def flush(table_rows):
+        nonlocal row_start, block_idx
+        out = []
+        for i in range(0, table_rows.num_rows, block_rows):
+            slab = table_rows.slice(i, min(block_rows,
+                                           table_rows.num_rows - i))
+            out.append(encode_block(slab.combine_chunks().to_batches()[0]
+                                    if isinstance(slab, pa.Table) else slab,
+                                    part_id, block_idx, row_start, attempt))
+            row_start += slab.num_rows
+            block_idx += 1
+        return out
+
+    for batch in batches:
+        pending.append(batch)
+        pending_rows += batch.num_rows
+        if pending_rows >= block_rows:
+            tbl = pa.Table.from_batches(pending)
+            full = (tbl.num_rows // block_rows) * block_rows
+            rows = flush(tbl.slice(0, full))
+            if rows:
+                yield block_rows_to_batch(rows)
+            rest = tbl.slice(full)
+            pending = rest.to_batches() if rest.num_rows else []
+            pending_rows = rest.num_rows
+    if pending_rows:
+        rows = flush(pa.Table.from_batches(pending))
+        if rows:
+            yield block_rows_to_batch(rows)
+
+
+def decode_batches(batches):
+    """Decode a stream of blocks-table Arrow batches back to token rows."""
+    for batch in batches:
+        for row in batch.to_pylist():
+            yield decode_block(row)

@@ -257,6 +257,10 @@ def _prepare_patched(v: np.ndarray, ps: np.ndarray, pl_: np.ndarray,
     wid = np.repeat(np.arange(k), pl_)
     over = br > mask[wid]
     pos = np.flatnonzero(over)
+    if pos.size == 0:
+        # aligned-width rounding can swallow every outlier -> windows
+        # must fall back to DIRECT (no patch list to write)
+        return np.zeros(k, dtype=bool), {"sizes": np.zeros(k, np.int64)}
     ow = wid[pos]                      # window of each outlier
     local = pos - eo[ow]               # index within its window
     patches = br[pos] >> w95[ow].astype(_U64)

@@ -37,18 +37,21 @@ def zigzag_decode(u: np.ndarray) -> np.ndarray:
 
 
 def bit_length_u64(u: np.ndarray) -> np.ndarray:
-    """Per-element bit length of uint64 values (0 -> 0). Vectorized via
-    highest-nonzero-byte lookup (no float log, exact for all 64 bits)."""
+    """Per-element bit length of uint64 values (0 -> 0). Fast path via
+    frexp (exact below 2^53, where float64 conversion is lossless);
+    larger values get a +-1 shift correction — exact for all 64 bits."""
     u = np.ascontiguousarray(u, dtype=np.uint64)
     if u.size == 0:
         return np.zeros(0, dtype=np.int64)
-    b = u.view(np.uint8).reshape(-1, 8)  # little-endian byte lanes
-    nz = b != 0
-    # index of highest nonzero byte; 0 if value is 0
-    hi = 7 - np.argmax(nz[:, ::-1], axis=1)
-    any_nz = nz.any(axis=1)
-    hi = np.where(any_nz, hi, 0)
-    return hi * 8 + _BYTE_BITLEN[b[np.arange(len(u)), hi]] * any_nz
+    _, e = np.frexp(u.astype(np.float64))
+    bl = e.astype(np.int64)
+    big = u >= np.uint64(1 << 53)  # float64 may have rounded
+    if big.any():
+        w = np.flatnonzero(big)
+        b = u[w, None].view(np.uint8).reshape(-1, 8)  # LE byte lanes
+        hi = 7 - np.argmax((b != 0)[:, ::-1], axis=1)
+        bl[w] = hi * 8 + _BYTE_BITLEN[b[np.arange(len(w)), hi]]
+    return bl
 
 
 def encode_varints(u: np.ndarray) -> np.ndarray:

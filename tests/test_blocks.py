@@ -1,0 +1,142 @@
+"""Block format tests: encode -> decode bit-identity on the F-MAIN
+fixture, nulls/PRESENT handling, stride metadata, size accounting
+(SURVEY.md §5.2.4)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine.blocks import (BLOCKS_SCHEMA, block_rows_to_batch,
+                           decode_batches, decode_block, encode_batches,
+                           encode_block)
+from jobs.synth import token_table
+
+
+def assert_identical(orig: pa.Table, dec: pa.Table):
+    orig = orig.combine_chunks()
+    dec = dec.combine_chunks()
+    assert orig.num_rows == dec.num_rows
+    for name in ("doc_id", "n_tok", "source"):
+        assert dec.column(name).to_pylist() == orig.column(name).to_pylist(), name
+    # token arrays: bit-identity per row (the BASELINE.json invariant)
+    a = orig.column("tokens").combine_chunks()
+    b = dec.column("tokens").combine_chunks()
+    assert a.to_pylist() == b.to_pylist()
+
+
+def roundtrip(tbl: pa.Table, **kw):
+    batches = list(encode_batches(tbl.to_batches(), **kw))
+    dec = list(decode_batches(batches))
+    out = pa.Table.from_batches(dec)
+    assert_identical(tbl, out)
+    return batches
+
+
+def test_fixture_roundtrip_1000():
+    tbl = token_table(1000)
+    batches = roundtrip(tbl)
+    assert all(b.schema.equals(BLOCKS_SCHEMA) for b in batches)
+
+
+def test_single_block_fields():
+    tbl = token_table(500)
+    row = encode_block(tbl.to_batches()[0], part_id=3, block_idx=7,
+                       row_start=1000)
+    assert row["block_id"] == "p000003b00007"
+    assert row["n_rows"] == 500
+    assert row["n_values"] == int(np.sum(tbl.column("n_tok").to_numpy()))
+    # stats match the raw data
+    flat = tbl.column("tokens").combine_chunks().flatten().to_numpy()
+    assert row["tokens"]["vmin"] == flat.min()
+    assert row["tokens"]["vmax"] == flat.max()
+    assert row["tokens"]["vsum"] == flat.sum()
+    # n_tok dedup: equals LENGTH stream
+    assert row["ntok"]["kind"].endswith("=LENGTH")
+    assert row["ntok"]["data"] == b""
+    # source column is low-cardinality -> dictionary
+    assert row["source"]["kind"] == "DICTIONARY_V2"
+    assert row["source"]["dict_size"] == 5
+    # doc_id is high-cardinality shared-prefix -> FSST
+    assert row["doc_id"]["kind"] == "FSST"
+    back = decode_block(row)
+    assert back.num_rows == 500
+
+
+def test_block_splitting():
+    tbl = token_table(1000)
+    batches = list(encode_batches(tbl.to_batches(), block_rows=300))
+    rows = [r for b in batches for r in b.to_pylist()]
+    assert [r["n_rows"] for r in rows] == [300, 300, 300, 100]
+    assert [r["row_start"] for r in rows] == [0, 300, 600, 900]
+    dec = pa.Table.from_batches(list(decode_batches(batches)))
+    assert_identical(tbl, dec)
+
+
+def test_strides():
+    tbl = token_table(25_000)
+    row = encode_block(tbl.combine_chunks().to_batches()[0])
+    s = row["strides"]
+    assert [x["row0"] for x in s] == [0, 10_000, 20_000]
+    assert [x["n_rows"] for x in s] == [10_000, 10_000, 5_000]
+    assert sum(x["n_values"] for x in s) == row["n_values"]
+    flat = tbl.column("tokens").combine_chunks().flatten().to_numpy()
+    assert min(x["tok_min"] for x in s) == flat.min()
+    assert max(x["tok_max"] for x in s) == flat.max()
+
+
+def test_compression_wins():
+    tbl = token_table(20_000)
+    row = encode_block(tbl.combine_chunks().to_batches()[0])
+    assert row["lineage"]["out_bytes"] < row["lineage"]["in_bytes"]
+
+
+def test_empty_token_lists():
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "tokens": pa.array([[], [1, 2, 3], []],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([0, 3, 0], type=pa.int32()),
+        "source": pa.array(["x", "x", "x"])})
+    roundtrip(tbl)
+
+
+def test_nulls_present_streams():
+    tbl = pa.table({
+        "doc_id": pa.array(["a", None, "c", None]),
+        "tokens": pa.array([[1, 2], None, [3], [4, 5, 6]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2, None, 1, 3], type=pa.int32()),
+        "source": pa.array([None, "y", "y", None])})
+    batches = list(encode_batches(tbl.to_batches()))
+    dec = pa.Table.from_batches(list(decode_batches(batches)))
+    assert_identical(tbl, dec)
+
+
+def test_negative_and_extreme_tokens():
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "tokens": pa.array([[-1, 0, 2 ** 31 - 1], [-(2 ** 31), 5, 5, 5]],
+                           type=pa.list_(pa.int32())),
+        "n_tok": pa.array([3, 4], type=pa.int32()),
+        "source": pa.array(["s", "s"])})
+    roundtrip(tbl)
+
+
+def test_multi_batch_input_accumulates():
+    tbl = token_table(1000)
+    small = [b for bs in
+             (tbl.slice(i, 100).to_batches() for i in range(0, 1000, 100))
+             for b in bs]
+    batches = list(encode_batches(small, block_rows=400))
+    rows = [r for b in batches for r in b.to_pylist()]
+    assert [r["n_rows"] for r in rows] == [400, 400, 200]
+    dec = pa.Table.from_batches(list(decode_batches(batches)))
+    assert_identical(tbl, dec)
+
+
+def test_synth_determinism():
+    a = token_table(200, seed=42, row_offset=100)
+    b = token_table(200, seed=42, row_offset=100)
+    assert a.equals(b)
+    c = token_table(200, seed=43, row_offset=100)
+    assert not a.equals(c)

@@ -144,3 +144,13 @@ def test_compression_beats_raw():
     ids = (RNG.zipf(1.3, 100000) % 50000).astype(np.int64)
     enc = encode_rlev2(ids)
     assert enc.size < 100000 * 2.875  # < 23 bits/token on zipf data
+
+
+def test_patched_aligned_rounding_swallows_outliers():
+    """Regression: aligned w95 rounding can eliminate every outlier;
+    the planner's PATCHED choice must fall back to DIRECT cleanly."""
+    rng = np.random.default_rng(1234)
+    v = rng.integers(0, 2 ** 16, 400)
+    v[::50] = rng.integers(2 ** 20, 2 ** 22, 8)  # outliers at 100p
+    rt(v, aligned=True)
+    rt(v, aligned=False)
