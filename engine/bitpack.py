@@ -50,6 +50,10 @@ for _i, _f in enumerate(FIXED_BITS):
     _WIDTH_TO_CODE[_f] = _i
 _CODE_TO_WIDTH = np.array(FIXED_BITS, dtype=np.int64)
 
+# int32 variants for the byte-granular speculative decode tables
+_CODE_TO_WIDTH32 = _CODE_TO_WIDTH.astype(np.int32)
+_CLOSEST32 = _CLOSEST.astype(np.int32)
+
 
 def closest_fixed_bits(w):
     """Round raw bit width(s) up to ORC's fixed-bits set."""

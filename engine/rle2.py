@@ -540,20 +540,50 @@ def encode_rlev2(values, signed: bool = True, aligned: bool = True
 # decode
 # ---------------------------------------------------------------------------
 
-def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
-    result = 0
-    shift = 0
-    while True:
-        b = data[pos]
-        pos += 1
-        result |= (b & 0x7F) << shift
-        if not (b & 0x80):
-            return result & 0xFFFFFFFFFFFFFFFF, pos
-        shift += 7
+def _speculative_tables(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sizes_at, counts_at): for EVERY byte position, the byte size and
+    value count of the chunk that would start there. Vectorized; entries
+    at non-header positions are speculative garbage that the header walk
+    never visits. This turns the sequential header walk into two scalar
+    loads per chunk."""
+    m = b.size
+    pad = np.zeros(m + 8, dtype=np.uint8)
+    pad[:m] = b
+    tag = b >> 6  # uint8
+    w_code = (b >> 1) & 31
+    widths = bp._CODE_TO_WIDTH32[w_code]
+    cnt9 = ((b & 1).astype(np.int32) << 8) + pad[1: m + 1] + 1
+    sizes = np.empty(m, dtype=np.int32)
+    counts = np.where(tag == 0, (b & 7).astype(np.int32) + 3, cnt9)
 
-
-def _unzigzag_int(u: int) -> int:
-    return (u >> 1) ^ -(u & 1)
+    m0 = tag == 0  # SHORT_REPEAT
+    sizes[m0] = 2 + ((b[m0] >> 3) & 7)
+    m1 = tag == 1  # DIRECT
+    sizes[m1] = 2 + (cnt9[m1] * widths[m1] + 7) // 8
+    p = np.flatnonzero(tag == 2)  # PATCHED_BASE
+    if p.size:
+        h3 = pad[p + 2]
+        h4 = pad[p + 3]
+        bw = (((h3 >> 5) & 7) + 1).astype(np.int32)
+        pw = bp._CODE_TO_WIDTH32[h3 & 31]
+        pgw = (((h4 >> 5) & 7) + 1).astype(np.int32)
+        pl = (h4 & 31).astype(np.int32)
+        cfb = bp._CLOSEST32[np.minimum(pgw + pw, 64)]
+        sizes[p] = 4 + bw + (cnt9[p] * widths[p] + 7) // 8 \
+            + (pl * cfb + 7) // 8
+    p = np.flatnonzero(tag == 3)  # DELTA
+    if p.size:
+        # distance to the next varint terminator, via a reversed
+        # running-minimum (no searchsorted)
+        pos_all = np.arange(m, dtype=np.int32)
+        A = np.where((b & 0x80) == 0, pos_all, np.int32(m))
+        term_pos = np.minimum.accumulate(A[::-1])[::-1]
+        term_dist = np.maximum(term_pos - pos_all + 1, 1)
+        l1 = term_dist[np.minimum(p + 2, m - 1)].astype(np.int64)
+        l2 = term_dist[np.minimum(p + 2 + l1, m - 1)]
+        dw = np.where(w_code[p] == 0, 0, widths[p])
+        sizes[p] = 2 + l1 + l2 + (np.maximum(cnt9[p] - 2, 0) * dw + 7) // 8
+    return sizes, counts
 
 
 def decode_rlev2(buf, n: int, signed: bool = True) -> np.ndarray:
@@ -561,144 +591,173 @@ def decode_rlev2(buf, n: int, signed: bool = True) -> np.ndarray:
 
     Decodes any spec-conformant stream (cross-implementation: streams
     sliced from ORC C++ / orc-core files decode too, SURVEY.md §5.2.3).
+    Fully batched: a vectorized speculative size/count table reduces the
+    sequential header walk to two scalar loads per chunk; all payloads
+    then decode in per-(kind,width) groups with no per-chunk Python.
     """
     if n == 0:
         return np.zeros(0, dtype=_I64)
-    data = bytes(buf)
-    # ---- pass 1: header walk -------------------------------------------
-    # per-kind chunk tables: (chunk_index, out_offset, count, params...)
-    sr_t, dir_t, df_t, dm_t, pat_t = [], [], [], [], []
+    bufarr = np.ascontiguousarray(np.frombuffer(bytes(buf), dtype=np.uint8))
+    m = bufarr.size
+    sizes_at, counts_at = _speculative_tables(bufarr)
+
+    # ---- header walk (sequential by nature, but O(1) python per chunk)
+    starts_l: list[int] = []
+    append = starts_l.append
     pos = 0
     produced = 0
-    ci = 0
-    out_offs = []
-    counts = []
     while produced < n:
-        h = data[pos]
-        tag = h >> 6
-        if tag == 0:  # SHORT_REPEAT
-            w = ((h >> 3) & 7) + 1
-            cnt = (h & 7) + 3
-            val = int.from_bytes(data[pos + 1: pos + 1 + w], "big")
-            sr_t.append((ci, val, cnt))
-            pos += 1 + w
-        elif tag == 1:  # DIRECT
-            w = bp.decode_bit_width((h >> 1) & 31)
-            cnt = (((h & 1) << 8) | data[pos + 1]) + 1
-            nb = (cnt * w + 7) // 8
-            dir_t.append((ci, pos + 2, cnt, w))
-            pos += 2 + nb
-        elif tag == 3:  # DELTA
-            code = (h >> 1) & 31
-            dw = 0 if code == 0 else bp.decode_bit_width(code)
-            cnt = (((h & 1) << 8) | data[pos + 1]) + 1
-            p = pos + 2
-            base_u, p = _read_varint(data, p)
-            base = _unzigzag_int(base_u) if signed \
-                else (base_u - (1 << 64) if base_u >= (1 << 63) else base_u)
-            # ORC always writes the delta varint (signed), even for cnt==1
-            first_u, p = _read_varint(data, p)
-            first = _unzigzag_int(first_u)
-            if dw > 0:
-                nb = ((cnt - 2) * dw + 7) // 8
-                dm_t.append((ci, p, cnt, dw, base, first))
-                p += nb
-            else:
-                df_t.append((ci, base, first, cnt))
-            pos = p
-        else:  # PATCHED_BASE
-            w = bp.decode_bit_width((h >> 1) & 31)
-            cnt = (((h & 1) << 8) | data[pos + 1]) + 1
-            h3 = data[pos + 2]
-            h4 = data[pos + 3]
-            bb = ((h3 >> 5) & 7) + 1
-            pw = bp.decode_bit_width(h3 & 31)
-            pgw = ((h4 >> 5) & 7) + 1
-            pl = h4 & 31
-            p = pos + 4
-            raw = int.from_bytes(data[p: p + bb], "big")
-            sign = raw >> (bb * 8 - 1)
-            mag = raw & ((1 << (bb * 8 - 1)) - 1)
-            base = -mag if sign else mag
-            p += bb
-            main_nb = (cnt * w + 7) // 8
-            cfb = bp.closest_fixed_bits(pgw + pw)
-            patch_nb = (pl * cfb + 7) // 8
-            pat_t.append((ci, p, cnt, w, base, pw, pgw, pl, p + main_nb))
-            pos = p + main_nb + patch_nb
-        out_offs.append(produced)
-        counts.append(cnt)
-        produced += cnt
-        ci += 1
+        if pos >= m:
+            raise ValueError("RLEv2 stream truncated")
+        append(pos)
+        produced += counts_at[pos]
+        pos += sizes_at[pos]
     if produced != n:
         raise ValueError(f"RLEv2 stream produced {produced} values, "
                          f"expected {n}")
-    out_offs = np.array(out_offs, dtype=np.int64)
-    counts = np.array(counts, dtype=np.int64)
+    starts = np.array(starts_l, dtype=np.int64)
+    h = bufarr[starts].astype(np.int64)
+    tag = h >> 6
+    counts = counts_at[starts]
+    out_offs = cumsum0(counts)[:-1]
     out = np.empty(n, dtype=_I64)
-    bufarr = np.frombuffer(data, dtype=np.uint8)
 
-    # ---- pass 2: batch decode per kind ---------------------------------
-    if sr_t:
-        ci_a, val_a, cnt_a = (np.array(x, dtype=np.int64)
-                              for x in zip(*sr_t))
-        vals = vi.zigzag_decode(val_a.view(_U64)) if signed \
-            else val_a.view(_U64).view(_I64)
-        out[span_positions(out_offs[ci_a], cnt_a)] = np.repeat(vals, cnt_a)
+    # ---- SHORT_REPEAT ---------------------------------------------------
+    sr = np.flatnonzero(tag == 0)
+    if sr.size:
+        wb = ((h[sr] >> 3) & 7) + 1
+        val = np.zeros(sr.size, dtype=_U64)
+        for w in np.unique(wb):
+            g = np.flatnonzero(wb == w)
+            acc = np.zeros(g.size, dtype=_U64)
+            for j in range(int(w)):
+                acc = (acc << _U64(8)) | bufarr[starts[sr[g]] + 1 + j]
+            val[g] = acc
+        vals = vi.zigzag_decode(val) if signed else val.view(_I64)
+        out[span_positions(out_offs[sr], counts[sr])] = \
+            np.repeat(vals, counts[sr])
 
-    if df_t:
-        ci_a, base_a, dlt_a, cnt_a = (np.array(x, dtype=np.int64)
-                                      for x in zip(*df_t))
-        r = ramp(cnt_a)
-        out[span_positions(out_offs[ci_a], cnt_a)] = \
-            np.repeat(base_a, cnt_a) + np.repeat(dlt_a, cnt_a) * r
+    # ---- DELTA ------------------------------------------------------------
+    dl = np.flatnonzero(tag == 3)
+    if dl.size:
+        is_end = (bufarr & 0x80) == 0
+        pos_all = np.arange(m, dtype=np.int64)
+        A = np.where(is_end, pos_all, m)
+        term_pos = np.minimum.accumulate(A[::-1])[::-1]
+        term_dist = term_pos - pos_all + 1
 
-    if dir_t:
-        ci_a, poff_a, cnt_a, w_a = (np.array(x, dtype=np.int64)
-                                    for x in zip(*dir_t))
-        for w in np.unique(w_a):
-            sel = w_a == w
-            nb = (cnt_a[sel] * int(w) + 7) // 8
-            payload = gather_spans(bufarr, poff_a[sel], nb)
-            vals = bp.unpack_matrix(payload, cnt_a[sel], int(w))
+        sd = starts[dl]
+        cnt_d = counts[dl]
+        l1 = term_dist[sd + 2]
+        l2 = term_dist[sd + 2 + l1]
+        base_u, _ = vi.decode_varints(gather_spans(bufarr, sd + 2, l1),
+                                      dl.size)
+        first_u, _ = vi.decode_varints(
+            gather_spans(bufarr, sd + 2 + l1, l2), dl.size)
+        base = vi.zigzag_decode(base_u) if signed else base_u.view(_I64)
+        first = vi.zigzag_decode(first_u)
+        code = (h[dl] >> 1) & 31
+        dw = np.where(code == 0, 0, bp._CODE_TO_WIDTH[code])
+
+        # fixed-delta chunks (dw == 0): arithmetic ramp
+        fx = np.flatnonzero(dw == 0)
+        if fx.size:
+            c_f, b_f, d_f = cnt_d[fx], base[fx], first[fx]
+            out[span_positions(out_offs[dl[fx]], c_f)] = \
+                np.repeat(b_f, c_f) + np.repeat(d_f, c_f) * ramp(c_f)
+        # variable-delta chunks: unpack |deltas|, signed by first delta
+        vr = np.flatnonzero(dw > 0)
+        if vr.size:
+            c_v, b_v, f_v, w_v = cnt_d[vr], base[vr], first[vr], dw[vr]
+            poff = sd[vr] + 2 + l1[vr] + l2[vr]
+            total = int(c_v.sum())
+            darr = np.zeros(total, dtype=_I64)
+            dstarts = cumsum0(c_v)[:-1]
+            darr[dstarts + 1] = f_v
+            sgn = np.where(f_v < 0, -1, 1).astype(_I64)
+            for w in np.unique(w_v):
+                g = np.flatnonzero(w_v == w)
+                nb = ((c_v[g] - 2) * int(w) + 7) // 8
+                payload = gather_spans(bufarr, poff[g], nb)
+                rest = bp.unpack_matrix(payload, c_v[g] - 2, int(w)) \
+                    .view(_I64)
+                rest = rest * np.repeat(sgn[g], c_v[g] - 2)
+                darr[span_positions(dstarts[g] + 2, c_v[g] - 2)] = rest
+            c = np.cumsum(darr)
+            corr = np.concatenate([[0], c])[dstarts]
+            vals = np.repeat(b_v, c_v) + (c - np.repeat(corr, c_v))
+            out[span_positions(out_offs[dl[vr]], c_v)] = vals
+
+    # ---- DIRECT -----------------------------------------------------------
+    di = np.flatnonzero(tag == 1)
+    if di.size:
+        w_d = bp._CODE_TO_WIDTH[(h[di] >> 1) & 31]
+        cnt_i = counts[di]
+        for w in np.unique(w_d):
+            g = np.flatnonzero(w_d == w)
+            nb = (cnt_i[g] * int(w) + 7) // 8
+            payload = gather_spans(bufarr, starts[di[g]] + 2, nb)
+            vals = bp.unpack_matrix(payload, cnt_i[g], int(w))
             dec = vi.zigzag_decode(vals) if signed else vals.view(_I64)
-            out[span_positions(out_offs[ci_a[sel]], cnt_a[sel])] = dec
+            out[span_positions(out_offs[di[g]], cnt_i[g])] = dec
 
-    if dm_t:
-        ci_a, poff_a, cnt_a, w_a, base_a, first_a = \
-            (np.array(x, dtype=np.int64) for x in zip(*dm_t))
-        total = int(cnt_a.sum())
-        darr = np.zeros(total, dtype=_I64)
-        starts = cumsum0(cnt_a)[:-1]
-        sgn = np.where(first_a < 0, -1, 1).astype(_I64)
-        darr[starts + 1] = first_a
-        for w in np.unique(w_a):
-            sel = w_a == w
-            nb = ((cnt_a[sel] - 2) * int(w) + 7) // 8
-            payload = gather_spans(bufarr, poff_a[sel], nb)
-            rest = bp.unpack_matrix(payload, cnt_a[sel] - 2, int(w)) \
-                .view(_I64)
-            rest = rest * np.repeat(sgn[sel], cnt_a[sel] - 2)
-            darr[span_positions(starts[sel] + 2, cnt_a[sel] - 2)] = rest
-        c = np.cumsum(darr)
-        corr = np.concatenate([[0], c])[starts]
-        vals = np.repeat(base_a, cnt_a) + (c - np.repeat(corr, cnt_a))
-        out[span_positions(out_offs[ci_a], cnt_a)] = vals
-
-    for (ci_i, poff, cnt, w, base, pw, pgw, pl, patch_off) in pat_t:
-        main = bp.unpack_bits(bufarr[poff: poff + (cnt * w + 7) // 8],
-                              cnt, w)
-        if pl:
-            cfb = bp.closest_fixed_bits(pgw + pw)
-            entries = bp.unpack_bits(
-                bufarr[patch_off: patch_off + (pl * cfb + 7) // 8], pl, cfb)
-            gaps = (entries >> _U64(pw)).astype(np.int64)
-            patches = entries & _U64((1 << pw) - 1)
-            idx = np.cumsum(gaps)
-            # zero-patch entries are gap fillers; real patches OR high bits
-            main[idx] |= patches << _U64(w)
-        vals = main.view(_I64) + base
-        off = out_offs[ci_i]
-        out[off: off + cnt] = vals
+    # ---- PATCHED_BASE -------------------------------------------------------
+    pt = np.flatnonzero(tag == 2)
+    if pt.size:
+        sp = starts[pt]
+        cnt_p = counts[pt]
+        w_p = bp._CODE_TO_WIDTH[(h[pt] >> 1) & 31]
+        h3 = bufarr[sp + 2].astype(np.int64)
+        h4 = bufarr[sp + 3].astype(np.int64)
+        bw = ((h3 >> 5) & 7) + 1
+        pw = bp._CODE_TO_WIDTH[h3 & 31]
+        pgw = ((h4 >> 5) & 7) + 1
+        pl = h4 & 31
+        cfb = bp._CLOSEST[np.minimum(pgw + pw, 64)]
+        # base: big-endian sign-magnitude, grouped by byte width
+        base = np.zeros(pt.size, dtype=_I64)
+        for b_ in np.unique(bw):
+            g = np.flatnonzero(bw == b_)
+            acc = np.zeros(g.size, dtype=_U64)
+            for j in range(int(b_)):
+                acc = (acc << _U64(8)) | bufarr[sp[g] + 4 + j]
+            sign = (acc >> _U64(int(b_) * 8 - 1)).astype(_I64)
+            mag = (acc & ((_U64(1) << _U64(int(b_) * 8 - 1)) - _U64(1))) \
+                .astype(_I64)
+            base[g] = np.where(sign == 1, -mag, mag)
+        main_off = sp + 4 + bw
+        main_nb = (cnt_p * w_p + 7) // 8
+        patch_off = main_off + main_nb
+        # main values, grouped by width, into one concat buffer
+        voffs = cumsum0(cnt_p)
+        vals_c = np.empty(int(voffs[-1]), dtype=_U64)
+        for w in np.unique(w_p):
+            g = np.flatnonzero(w_p == w)
+            payload = gather_spans(bufarr, main_off[g], main_nb[g])
+            vals_c[span_positions(voffs[:-1][g], cnt_p[g])] = \
+                bp.unpack_matrix(payload, cnt_p[g], int(w))
+        # patch entries, grouped by cfb, into one concat buffer
+        poffs = cumsum0(pl)
+        ent_c = np.empty(int(poffs[-1]), dtype=_U64)
+        for c_ in np.unique(cfb[pl > 0]) if (pl > 0).any() else []:
+            g = np.flatnonzero((cfb == c_) & (pl > 0))
+            nb = (pl[g] * int(c_) + 7) // 8
+            payload = gather_spans(bufarr, patch_off[g], nb)
+            ent_c[span_positions(poffs[:-1][g], pl[g])] = \
+                bp.unpack_matrix(payload, pl[g], int(c_))
+        if ent_c.size:
+            wid = np.repeat(np.arange(pt.size), pl)  # window per entry
+            pw_e = pw[wid].astype(_U64)
+            gaps = (ent_c >> pw_e).astype(np.int64)
+            patches = ent_c & ((_U64(1) << pw_e) - _U64(1))
+            # per-window inclusive cumsum of gaps -> local outlier index
+            cg = np.cumsum(gaps)
+            first_e = poffs[:-1][pl > 0]
+            prev = np.concatenate([[0], cg])[first_e]
+            idx = cg - np.repeat(prev, pl[pl > 0])
+            target = voffs[:-1][wid] + idx
+            vals_c[target] |= patches << w_p[wid].astype(_U64)
+        vals = vals_c.view(_I64) + np.repeat(base, cnt_p)
+        out[span_positions(out_offs[pt], cnt_p)] = vals
 
     return out
