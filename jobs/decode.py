@@ -1,0 +1,42 @@
+"""Distributed decode + verify job (SURVEY.md §3.3, §2.5 M6).
+
+decode: blocks table -> token rows via mapInArrow(decode kernel).
+verify: join-free bit-identity check of decode(encode(input)) against
+the input — xxhash64 over (doc_id, token array, n_tok, source) per
+row, compared with exceptAll in both directions (the BASELINE.json
+"decode bit-identity" metric, scalable: two shuffles, no wide join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from engine.blocks import TOKEN_DDL, decode_batches
+from jobs.encode import read_blocks
+
+
+def decode_table(spark: SparkSession, blocks_path: str) -> DataFrame:
+    blocks = read_blocks(spark, blocks_path)
+    return blocks.mapInArrow(decode_batches, TOKEN_DDL)
+
+
+def row_hashes(df: DataFrame) -> DataFrame:
+    """One xxhash64 per row over every column (token arrays included —
+    Spark hashes array elements structurally)."""
+    return df.select(
+        F.xxhash64("doc_id", "tokens", "n_tok", "source").alias("h"))
+
+
+def verify_identity(input_df: DataFrame, decoded_df: DataFrame) -> dict:
+    """Bit-identity report: row counts and symmetric hash differences."""
+    a = row_hashes(input_df)
+    b = row_hashes(decoded_df)
+    missing = a.exceptAll(b).count()
+    extra = b.exceptAll(a).count()
+    n_in = input_df.count()
+    n_out = decoded_df.count()
+    return {
+        "rows_in": n_in, "rows_out": n_out,
+        "missing": missing, "extra": extra,
+        "identical": missing == 0 and extra == 0 and n_in == n_out,
+    }

@@ -1,0 +1,168 @@
+"""Distributed encode job (SURVEY.md §3.3): token table -> blocks table.
+
+Pipeline (all custom logic lives inside the Arrow kernel; the Spark
+layer is scan -> one shuffle -> mapInArrow -> sink):
+
+    spark.read.parquet(input)
+      -> plan_partitions: token-weighted range buckets on n_tok,
+         heavy values subdivided by a doc_id salt       # skew defusal
+      -> broadcast-join bucket map + repartition(pid)   # ONE shuffle
+      -> mapInArrow(encode_kernel, BLOCKS_DDL)          # engine/blocks.py
+      -> parquet append + manifest commit               # jobs/table_io.py
+
+Skew story at 10^12 rows: Spark's own RangePartitioner balances ROW
+counts with a nondeterministic sample seed — wrong on both axes here
+(token mass is what must balance, and resume needs reproducible
+partition contents). Instead the driver computes *token-weighted*
+range boundaries from the n_tok histogram (n_tok has at most ~8192
+distinct values, so the groupBy is a tiny map-side-combined agg even
+at 10^12 rows), assigning each n_tok range a contiguous bucket span;
+an n_tok value heavier than one bucket is salted across its span by
+``pmod(xxhash64(doc_id), spans)`` — the north_rule's "salts and
+range-partitions on n_tok". Buckets over-partition ~4x the target so
+hash distribution + dynamic scheduling absorb residual imbalance.
+Every step is a pure function of the input snapshot — no sampling
+seeds — so a resumed run reproduces partition contents exactly.
+
+Resumability: the kernel consults the manifest's committed part ids
+(broadcast) and emits nothing for finished partitions; a crashed run's
+superseded blocks are deduplicated on read by (part_id, block_id,
+attempt). Block ids are pure functions of (part_id, block index) — no
+wall clock, no RNG anywhere in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from engine.blocks import BLOCKS_DDL, DEFAULT_BLOCK_ROWS, encode_batches
+from jobs import table_io
+
+SALT_BUCKETS = 256
+# token-weighted buckets per physical partition: buckets hash into
+# partitions, so >> 1 bucket/partition keeps balls-in-bins variance low
+# (16 buckets/part -> ~±25% token mass per partition)
+BUCKETS_PER_PART = 16
+
+
+def plan_partitions(df: DataFrame, num_buckets: int) -> DataFrame:
+    """Token-weighted range bucketing of ``n_tok`` (deterministic).
+
+    Returns a tiny bucket-map DataFrame (n_tok, bucket_start, spans):
+    values sorted by n_tok are packed into ``num_buckets`` buckets of
+    ~equal TOKEN mass; a value spanning k buckets gets spans=k for
+    salt subdivision. Driver-side work is O(distinct n_tok) <= ~8192.
+    """
+    hist = (df.groupBy("n_tok").agg(F.count("*").alias("c"))
+            .orderBy("n_tok").collect())
+    rows = []
+    total_w = sum(r["n_tok"] * r["c"] for r in hist) or 1
+    per_bucket = total_w / num_buckets
+    cum = 0.0
+    for r in hist:
+        w = r["n_tok"] * r["c"]
+        lo = min(int(cum / per_bucket), num_buckets - 1)
+        hi = min(int((cum + w) / per_bucket), num_buckets - 1)
+        rows.append((r["n_tok"], lo, max(1, hi - lo + 1)))
+        cum += w
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, "n_tok int, bucket_start int, "
+                                       "spans int")
+
+
+def _kernel(skip_parts: set[int], block_rows: int, attempt: int):
+    def encode_kernel(batches):
+        part = TaskContext.get().partitionId()
+        if part in skip_parts:
+            return
+        drop = ("salt", "pid")
+        clean = (b.drop_columns([c for c in drop if c in b.schema.names])
+                 for b in batches)
+        yield from encode_batches(clean, part_id=part,
+                                  block_rows=block_rows, attempt=attempt)
+    return encode_kernel
+
+
+def encode_table(spark: SparkSession, df: DataFrame, out_path: str,
+                 num_partitions: int | None = None,
+                 block_rows: int = DEFAULT_BLOCK_ROWS,
+                 resume: bool = True, attempt: int | None = None) -> dict:
+    """Run the encode pipeline; returns a metrics dict.
+
+    ``df`` must have the input_hint schema (doc_id, tokens, n_tok,
+    source). Appends block rows to ``out_path`` and commits finished
+    partitions to the manifest.
+    """
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    done = table_io.committed_parts(out_path) if resume else {}
+    skip = set(done)
+    if attempt is None:
+        attempt = len(table_io.commits(out_path))
+
+    num_buckets = num_partitions * BUCKETS_PER_PART
+    bucket_map = plan_partitions(df, num_buckets)
+    salted = (df
+              .withColumn("salt", F.pmod(F.xxhash64("doc_id"),
+                                         F.lit(SALT_BUCKETS)))
+              .join(F.broadcast(bucket_map), "n_tok", "left")
+              .withColumn("pid", F.coalesce(
+                  F.col("bucket_start") + F.pmod("salt", F.col("spans")),
+                  F.pmod("salt", F.lit(num_buckets))))
+              .drop("bucket_start", "spans")
+              .select("doc_id", "tokens", "n_tok", "source", "pid"))
+    parted = salted.repartition(num_partitions, "pid")
+    blocks = parted.mapInArrow(
+        _kernel(skip, block_rows, attempt), BLOCKS_DDL)
+
+    ddir = table_io.data_dir(out_path)
+    blocks.write.mode("append").parquet(ddir)
+
+    # gather per-part lineage from what was just written and commit;
+    # read deduplicated (a crashed run may have left superseded blocks)
+    written = read_blocks(spark, out_path)
+    agg = (written
+           .where(~F.col("part_id").isin(list(skip)) if skip else F.lit(True))
+           .groupBy("part_id")
+           .agg(F.sum("n_rows").alias("n_rows"),
+                F.sum("n_values").alias("n_values"),
+                F.count("*").alias("n_blocks"),
+                F.sum("lineage.out_bytes").alias("out_bytes"),
+                F.sum("lineage.in_bytes").alias("in_bytes"),
+                F.sum("lineage.wall_ms").alias("wall_ms"))
+           ).collect()
+    parts = [{k: (int(r[k]) if r[k] is not None else 0)
+              for k in ("part_id", "n_rows", "n_values", "n_blocks",
+                        "out_bytes", "in_bytes")}
+             | {"wall_ms": float(r["wall_ms"] or 0.0)}
+             for r in agg]
+    new_parts = [p for p in parts if p["part_id"] not in skip]
+    if new_parts:
+        table_io.commit(out_path, new_parts,
+                        {"num_partitions": num_partitions,
+                         "block_rows": block_rows, "attempt": attempt})
+    all_parts = list(done.values()) + new_parts
+    return {
+        "n_parts": len(all_parts),
+        "n_parts_skipped": len(skip),
+        "n_rows": sum(p["n_rows"] for p in all_parts),
+        "n_values": sum(p["n_values"] for p in all_parts),
+        "n_blocks": sum(p.get("n_blocks", 0) for p in all_parts),
+        "out_bytes": sum(p.get("out_bytes", 0) for p in all_parts),
+        "in_bytes": sum(p.get("in_bytes", 0) for p in all_parts),
+    }
+
+
+def read_blocks(spark: SparkSession, out_path: str) -> DataFrame:
+    """Blocks table, deduplicated: a crashed run can leave superseded
+    block rows for partitions that were later re-encoded; keep the
+    newest attempt per (part_id, block_id). Encode is deterministic so
+    duplicates are byte-identical anyway — this guards row counts."""
+    from pyspark.sql import Window
+    raw = spark.read.parquet(table_io.data_dir(out_path))
+    w = Window.partitionBy("part_id", "block_id") \
+        .orderBy(F.col("lineage.attempt").desc())
+    return (raw.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))

@@ -93,3 +93,26 @@ def token_table(rows: int, seed: int = 42, row_offset: int = 0) -> pa.Table:
         "n_tok": pa.array(n_tok, type=pa.int32()),
         "source": pa.array(SOURCES[src_idx].tolist(), type=pa.string()),
     })
+
+
+def write_token_table(spark, path: str, rows: int, partitions: int = 8,
+                      seed: int = 42, rows_per_batch: int = 20_000) -> None:
+    """Distributed deterministic write of the F-MAIN table to parquet.
+
+    Each Spark partition generates disjoint row ranges; determinism
+    comes from (seed, first row id of each Arrow batch).
+    """
+    import pyarrow as pa  # noqa: F401 (worker-side)
+
+    def gen(batches):
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            for i in range(0, len(ids), rows_per_batch):
+                chunk = ids[i: i + rows_per_batch]
+                t = token_table(len(chunk), seed=seed,
+                                row_offset=int(chunk[0]))
+                yield from t.to_batches()
+
+    df = spark.range(0, rows, 1, partitions)
+    from engine.blocks import TOKEN_DDL
+    df.mapInArrow(gen, TOKEN_DDL).write.mode("overwrite").parquet(path)
