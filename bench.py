@@ -1,0 +1,166 @@
+"""Benchmark harness: F-MAIN token pipeline at the driver's scale
+factor. Prints ONE JSON line (driver contract).
+
+    SPARK_GRAFT_SF_DIR   input scale dir (default /root/testdata/sf0.1);
+                         only the sf suffix is used to size the F-MAIN
+                         synthetic table (FIXTURES.md: the engine's
+                         input is the input_hint token table, generated
+                         deterministically — sf0.1 -> 1M rows ~ 244M
+                         tokens, matching BASELINE.md's P7 measurement
+                         corpus x10)
+    SPARK_GRAFT_CPUS     local[N] (default 32)
+    BENCH_SCALING=1      additionally run the same job at N/4 cores and
+                         report throughput scaling efficiency (the
+                         BASELINE.json two-cluster-size criterion,
+                         evidenced per task instructions at two
+                         parallelism levels)
+
+Stages timed: encode (scan -> partition -> mapInArrow -> parquet sink),
+decode (blocks scan -> mapInArrow), verify (xxhash64 exceptAll).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def _session(cores: int, shuffle_parts: int):
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cores}]")
+            .appName(f"orc-format-spark-bench-{cores}")
+            .config("spark.sql.shuffle.partitions", str(shuffle_parts))
+            .config("spark.sql.adaptive.enabled", "false")
+            .config("spark.driver.memory", "48g")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+            .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def _input_path(rows: int, seed: int = 42) -> str:
+    return f"/tmp/orc_format_spark_bench/input-r{rows}-s{seed}"
+
+
+def ensure_input(cores: int, rows: int) -> str:
+    path = _input_path(rows)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    spark = _session(cores, cores * 2)
+    try:
+        from jobs.synth import write_token_table
+        write_token_table(spark, path, rows=rows,
+                          partitions=max(cores * 2, 8))
+    finally:
+        spark.stop()
+    return path
+
+
+def run_pipeline(cores: int, rows: int, verify: bool = True) -> dict:
+    """One full encode -> decode (-> verify) run; returns timings."""
+    inp = ensure_input(cores, rows)
+    out = f"/tmp/orc_format_spark_bench/blocks-r{rows}-c{cores}-{int(time.time())}"
+    spark = _session(cores, cores * 2)
+    try:
+        from pyspark.sql import functions as F
+        from jobs.decode import decode_table, verify_identity
+        from jobs.encode import encode_table
+        df = spark.read.parquet(inp)
+        # warm the persistent python workers (arena pages + imports):
+        # this sandbox serializes first-touch page faults at ~1ms each,
+        # so steady-state throughput — what a long-running 10^12-row job
+        # sees — requires one warm pass (BASELINE.md P7 measured the ORC
+        # C++ reference warm as well)
+        from engine.blocks import BLOCKS_DDL, encode_batches
+
+        def _warm(batches):
+            yield from encode_batches(batches, part_id=0)
+
+        (df.sample(0.12, seed=7).repartition(cores)
+           .mapInArrow(_warm, BLOCKS_DDL).count())
+        t0 = time.time()
+        metrics = encode_table(spark, df, out, num_partitions=cores * 2,
+                               resume=False)
+        t1 = time.time()
+        dec = decode_table(spark, out)
+        # force full decode: cheap count-ish action that reads all data
+        n_dec = dec.select(F.sum("n_tok")).collect()[0][0]
+        t2 = time.time()
+        rep = {}
+        if verify:
+            rep = verify_identity(df, decode_table(spark, out))
+            assert rep["identical"], rep
+        t3 = time.time()
+        return {
+            "cores": cores, "rows": rows,
+            "n_values": metrics["n_values"],
+            "in_bytes": metrics["in_bytes"],
+            "out_bytes": metrics["out_bytes"],
+            "encode_s": t1 - t0, "decode_s": t2 - t1,
+            "verify_s": (t3 - t2) if verify else None,
+            "decoded_tokens": int(n_dec),
+            "identical": rep.get("identical", None),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    rows = max(10_000, int(1_000_000 * sf / 0.1))
+
+    r = run_pipeline(cores, rows, verify=True)
+    ntok = r["n_values"]
+    result = {
+        "metric": "token pipeline encode+decode wall (verify excluded)",
+        "value": round(r["encode_s"] + r["decode_s"], 3),
+        "unit": "sec",
+        "queries": {
+            "encode": round(r["encode_s"], 3),
+            "decode": round(r["decode_s"], 3),
+            "verify": round(r["verify_s"], 3),
+        },
+        "sf": sf,
+        "rows": rows,
+        "tokens": ntok,
+        "encode_mtok_s": round(ntok / r["encode_s"] / 1e6, 2),
+        "decode_mtok_s": round(ntok / r["decode_s"] / 1e6, 2),
+        "bits_per_token": round(r["out_bytes"] * 8 / ntok, 2),
+        "decode_identical": r["identical"],
+        "cores": cores,
+    }
+
+    if os.environ.get("BENCH_SCALING"):
+        small = max(1, cores // 4)
+        r2 = run_pipeline(small, rows, verify=False)
+        thr_big = ntok / (r["encode_s"] + r["decode_s"])
+        thr_small = ntok / (r2["encode_s"] + r2["decode_s"])
+        result["scaling"] = {
+            "cores_small": small, "cores_big": cores,
+            "mtok_s_small": round(thr_small / 1e6, 2),
+            "mtok_s_big": round(thr_big / 1e6, 2),
+            "efficiency": round((thr_big / thr_small) / (cores / small), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -36,7 +36,11 @@ from . import fsst, rle1, rle2, strings
 from ._util import cumsum0
 
 STRIDE_ROWS = 10_000  # orc.row.index.stride default (orcconf.txt:5)
-DEFAULT_BLOCK_ROWS = 65_536
+# 8192 rows/block (~2M tokens): small enough that each Spark worker's
+# scratch arena stays ~100-200MB (this sandbox serializes first-touch
+# page zeroing globally at ~1GB/s — 64k-row blocks measured 10x slower
+# under 32-way parallelism), big enough to amortize per-block metadata
+DEFAULT_BLOCK_ROWS = 8_192
 
 KIND_RLEV2 = "RLEV2"
 KIND_DIRECT = "DIRECT_V2"
@@ -380,46 +384,81 @@ def decode_block(row: dict) -> pa.RecordBatch:
         schema=TOKEN_SCHEMA)
 
 
+# cap block TOKEN count too: range partitioning clusters long sequences,
+# so a row cap alone lets one block hold ~500MB of token arrays — the
+# value cap keeps kernel scratch (and stripe size) bounded like ORC's
+# memory-driven stripe flush (javap/WriterImpl.txt:56 checkMemory)
+DEFAULT_BLOCK_VALUES = 2_000_000
+
+
+def _slab_bounds(lens: np.ndarray, block_rows: int, block_values: int,
+                 final: bool) -> tuple[list[tuple[int, int]], int]:
+    """Greedy (start, stop) row slabs under both caps. Returns the full
+    slabs plus the index where the unfinished tail begins (== n when
+    ``final`` or the tail itself hit a cap)."""
+    n = len(lens)
+    cum = cumsum0(lens)
+    bounds = []
+    i = 0
+    while i < n:
+        j = min(i + block_rows, n)
+        jv = int(np.searchsorted(cum, cum[i] + block_values, side="left"))
+        j = max(i + 1, min(j, jv))
+        full = (j - i >= block_rows) or (cum[j] - cum[i] >= block_values)
+        if not full and not final:
+            break  # tail: wait for more input
+        bounds.append((i, int(j)))
+        i = int(j)
+    return bounds, i
+
+
 def encode_batches(batches, part_id: int = 0,
-                   block_rows: int = DEFAULT_BLOCK_ROWS, attempt: int = 0):
+                   block_rows: int = DEFAULT_BLOCK_ROWS,
+                   block_values: int = DEFAULT_BLOCK_VALUES,
+                   attempt: int = 0):
     """Encode a stream of Arrow batches into blocks-table batches.
 
-    Slices incoming batches into ``block_rows`` slabs; one output
-    RecordBatch (of possibly several block rows) per input batch group.
-    Generator — suitable for ``mapInArrow``.
+    Slices incoming rows into slabs capped by BOTH ``block_rows`` and
+    ``block_values`` (total tokens). Generator — suitable for
+    ``mapInArrow``.
     """
     row_start = 0
     block_idx = 0
     pending: list[pa.RecordBatch] = []
     pending_rows = 0
 
-    def flush(table_rows):
+    def flush(tbl: pa.Table, final: bool):
         nonlocal row_start, block_idx
-        out = []
-        for i in range(0, table_rows.num_rows, block_rows):
-            slab = table_rows.slice(i, min(block_rows,
-                                           table_rows.num_rows - i))
-            out.append(encode_block(slab.combine_chunks().to_batches()[0]
-                                    if isinstance(slab, pa.Table) else slab,
-                                    part_id, block_idx, row_start, attempt))
-            row_start += slab.num_rows
+        col = tbl.column("n_tok")
+        if col.null_count == 0:
+            lens = np.asarray(col.combine_chunks(), dtype=np.int64)
+        else:
+            lens = np.nan_to_num(col.to_numpy(zero_copy_only=False)
+                                 .astype(np.float64)).astype(np.int64)
+        bounds, consumed = _slab_bounds(lens, block_rows, block_values,
+                                        final)
+        rows = []
+        for i, j in bounds:
+            slab = tbl.slice(i, j - i).combine_chunks()
+            rows.append(encode_block(slab.to_batches()[0], part_id,
+                                     block_idx, row_start, attempt))
+            row_start += j - i
             block_idx += 1
-        return out
+        return rows, consumed
 
     for batch in batches:
         pending.append(batch)
         pending_rows += batch.num_rows
-        if pending_rows >= block_rows:
-            tbl = pa.Table.from_batches(pending)
-            full = (tbl.num_rows // block_rows) * block_rows
-            rows = flush(tbl.slice(0, full))
-            if rows:
-                yield block_rows_to_batch(rows)
-            rest = tbl.slice(full)
-            pending = rest.to_batches() if rest.num_rows else []
-            pending_rows = rest.num_rows
+        tbl = pa.Table.from_batches(pending)
+        rows, consumed = flush(tbl, final=False)
+        if rows:
+            yield block_rows_to_batch(rows)
+        rest = tbl.slice(consumed)
+        pending = rest.to_batches() if rest.num_rows else []
+        pending_rows = rest.num_rows
     if pending_rows:
-        rows = flush(pa.Table.from_batches(pending))
+        tbl = pa.Table.from_batches(pending)
+        rows, _ = flush(tbl, final=True)
         if rows:
             yield block_rows_to_batch(rows)
 
