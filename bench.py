@@ -70,8 +70,10 @@ def ensure_input(cores: int, rows: int) -> str:
     return path
 
 
-def run_pipeline(cores: int, rows: int, verify: bool = True) -> dict:
+def run_pipeline(cores: int, rows: int, verify: bool = True,
+                 codec: str | None = None) -> dict:
     """One full encode -> decode (-> verify) run; returns timings."""
+    codec = codec or os.environ.get("SPARK_GRAFT_CODEC", "zlib")
     inp = ensure_input(cores, rows)
     out = f"/tmp/orc_format_spark_bench/blocks-r{rows}-c{cores}-{int(time.time())}"
     spark = _session(cores, cores * 2)
@@ -94,7 +96,7 @@ def run_pipeline(cores: int, rows: int, verify: bool = True) -> dict:
            .mapInArrow(_warm, BLOCKS_DDL).count())
         t0 = time.time()
         metrics = encode_table(spark, df, out, num_partitions=cores * 2,
-                               resume=False)
+                               resume=False, codec=codec)
         t1 = time.time()
         dec = decode_table(spark, out)
         # force full decode: cheap count-ish action that reads all data
@@ -145,6 +147,7 @@ def main():
         "bits_per_token": round(r["out_bytes"] * 8 / ntok, 2),
         "decode_identical": r["identical"],
         "cores": cores,
+        "codec": os.environ.get("SPARK_GRAFT_CODEC", "zlib"),
     }
 
     if os.environ.get("BENCH_SCALING"):

@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import fsst, rle1, rle2, strings
+from . import compress, fsst, rle1, rle2, strings
 from ._util import cumsum0
 
 STRIDE_ROWS = 10_000  # orc.row.index.stride default (orcconf.txt:5)
@@ -99,6 +99,7 @@ BLOCKS_SCHEMA = pa.schema([
     ("doc_id", STR_COL_TYPE),
     ("source", STR_COL_TYPE),
     ("strides", pa.list_(STRIDE_TYPE)),
+    ("codec", pa.string()),
     ("lineage", LINEAGE_TYPE),
 ])
 
@@ -116,6 +117,7 @@ BLOCKS_DDL = (
     "dict_size:int, present:binary, n_nulls:bigint>, "
     "strides array<struct<row0:bigint, n_rows:bigint, n_values:bigint, "
     "tok_min:bigint, tok_max:bigint>>, "
+    "codec string, "
     "lineage struct<input_part:int, row_start:bigint, n_rows:bigint, "
     "attempt:int, wall_ms:double, in_bytes:bigint, out_bytes:bigint>"
 )
@@ -235,9 +237,29 @@ def _scatter_nulls_int(vals: np.ndarray, valid: np.ndarray,
     return pa.array(full, mask=~valid)
 
 
+_WRAP_KEYS = ("data", "length", "dict", "present")
+
+
+def _wrap_codec(col: dict, codec: str) -> None:
+    """Frame every non-empty binary stream of a column (C1 wrapper)."""
+    for k in _WRAP_KEYS:
+        v = col.get(k)
+        if isinstance(v, bytes) and v:
+            col[k] = compress.compress_stream(v, codec)
+
+
+def _unwrap_codec(col: dict, codec: str) -> dict:
+    out = dict(col)
+    for k in _WRAP_KEYS:
+        v = out.get(k)
+        if isinstance(v, bytes) and v:
+            out[k] = compress.decompress_stream(v, codec)
+    return out
+
+
 def encode_block(batch: pa.RecordBatch, part_id: int = 0,
                  block_idx: int = 0, row_start: int = 0,
-                 attempt: int = 0) -> dict:
+                 attempt: int = 0, codec: str = "none") -> dict:
     """Encode one slab of token-table rows into a block row (plain dict
     matching BLOCKS_SCHEMA)."""
     t0 = time.perf_counter()
@@ -298,6 +320,10 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
             "tok_min": int(sv.min()) if sv.size else 0,
             "tok_max": int(sv.max()) if sv.size else 0})
 
+    if codec != "none":
+        for c in (ntok_col, tokens_col, doc_col, src_col):
+            _wrap_codec(c, codec)
+
     in_bytes = sum(
         buf.size for col in batch.columns for buf in col.buffers() if buf)
     row = {
@@ -306,7 +332,7 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
         "n_rows": int(n), "n_values": int(vals.size),
         "ntok": ntok_col, "tokens": tokens_col,
         "doc_id": doc_col, "source": src_col,
-        "strides": strides,
+        "strides": strides, "codec": codec,
     }
     out_bytes = sum(
         len(c[k]) for c in (ntok_col, tokens_col, doc_col, src_col)
@@ -336,6 +362,11 @@ def decode_block(row: dict) -> pa.RecordBatch:
     Decode is bit-identity: every token array reproduces elementwise
     (the BASELINE.json metric)."""
     n = int(row["n_rows"])
+    codec = row.get("codec") or "none"
+    if codec != "none":
+        row = dict(row)
+        for c in ("ntok", "tokens", "doc_id", "source"):
+            row[c] = _unwrap_codec(row[c], codec)
     tok = row["tokens"]
     raw = tok["data"]
     llen = int(np.frombuffer(raw[:4], np.uint32)[0])
@@ -415,7 +446,7 @@ def _slab_bounds(lens: np.ndarray, block_rows: int, block_values: int,
 def encode_batches(batches, part_id: int = 0,
                    block_rows: int = DEFAULT_BLOCK_ROWS,
                    block_values: int = DEFAULT_BLOCK_VALUES,
-                   attempt: int = 0):
+                   attempt: int = 0, codec: str = "none"):
     """Encode a stream of Arrow batches into blocks-table batches.
 
     Slices incoming rows into slabs capped by BOTH ``block_rows`` and
@@ -441,7 +472,8 @@ def encode_batches(batches, part_id: int = 0,
         for i, j in bounds:
             slab = tbl.slice(i, j - i).combine_chunks()
             rows.append(encode_block(slab.to_batches()[0], part_id,
-                                     block_idx, row_start, attempt))
+                                     block_idx, row_start, attempt,
+                                     codec=codec))
             row_start += j - i
             block_idx += 1
         return rows, consumed

@@ -1,0 +1,76 @@
+"""General-compression chunk wrapper (SURVEY.md §2.5 C1).
+
+ORC wraps every stream in compression chunks of at most
+``orc.compress.size`` (256 KiB, orcconf.txt:6) with a 3-byte
+little-endian header ``(compressedLength << 1) | isOriginal`` — a
+chunk that doesn't shrink is stored raw with the isOriginal bit set,
+so pathological inputs never grow by more than 3 bytes per 256 KiB.
+
+The reference's default codec is zstd (orcconf.txt:9); this sandbox
+only ships zlib/lzma in the stdlib, so the codec registry names the
+algorithms explicitly and ``CODECS`` is the one-line extension point
+when zstd is available. Lightweight codecs (engine/rle2 etc.) remain
+the primary compressors; this wrapper is the optional outer layer that
+chases the reference's zstd-compressed byte size (BASELINE.md: 9.56
+bits/token).
+"""
+
+from __future__ import annotations
+
+import lzma
+import zlib
+
+import numpy as np
+
+CHUNK_SIZE = 256 * 1024  # orc.compress.size default
+
+_LZMA_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 1}]
+
+CODECS: dict[str, tuple] = {
+    # name -> (compress(bytes)->bytes, decompress(bytes)->bytes)
+    "zlib": (lambda b: zlib.compress(b, 4), zlib.decompress),
+    "zlib9": (lambda b: zlib.compress(b, 9), zlib.decompress),
+    "lzma1": (lambda b: lzma.compress(b, format=lzma.FORMAT_RAW,
+                                      filters=_LZMA_FILTERS),
+              lambda b: lzma.decompress(b, format=lzma.FORMAT_RAW,
+                                        filters=_LZMA_FILTERS)),
+}
+
+
+def compress_stream(data, codec: str = "zlib",
+                    chunk_size: int = CHUNK_SIZE) -> bytes:
+    """ORC-framed chunked compression of a byte stream."""
+    if codec == "none":
+        raise ValueError("frame only wraps real codecs; store raw instead")
+    comp, _ = CODECS[codec]
+    raw = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
+    out = bytearray()
+    for i in range(0, len(raw), chunk_size):
+        chunk = raw[i: i + chunk_size]
+        c = comp(chunk)
+        if len(c) < len(chunk):
+            header = len(c) << 1
+            body = c
+        else:
+            header = (len(chunk) << 1) | 1
+            body = chunk
+        out += header.to_bytes(3, "little")
+        out += body
+    return bytes(out)
+
+
+def decompress_stream(buf, codec: str = "zlib") -> bytes:
+    """Inverse of :func:`compress_stream`."""
+    _, decomp = CODECS[codec]
+    raw = buf.tobytes() if isinstance(buf, np.ndarray) else bytes(buf)
+    out = bytearray()
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        header = int.from_bytes(raw[pos: pos + 3], "little")
+        pos += 3
+        length = header >> 1
+        body = raw[pos: pos + length]
+        pos += length
+        out += body if (header & 1) else decomp(body)
+    return bytes(out)

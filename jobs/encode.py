@@ -71,7 +71,8 @@ def plan_partitions(df: DataFrame, num_buckets: int) -> DataFrame:
                                        "spans int")
 
 
-def _kernel(skip_parts: set[int], block_rows: int, attempt: int):
+def _kernel(skip_parts: set[int], block_rows: int, attempt: int,
+            codec: str = "none"):
     def encode_kernel(batches):
         part = TaskContext.get().partitionId()
         if part in skip_parts:
@@ -80,14 +81,16 @@ def _kernel(skip_parts: set[int], block_rows: int, attempt: int):
         clean = (b.drop_columns([c for c in drop if c in b.schema.names])
                  for b in batches)
         yield from encode_batches(clean, part_id=part,
-                                  block_rows=block_rows, attempt=attempt)
+                                  block_rows=block_rows, attempt=attempt,
+                                  codec=codec)
     return encode_kernel
 
 
 def encode_table(spark: SparkSession, df: DataFrame, out_path: str,
                  num_partitions: int | None = None,
                  block_rows: int = DEFAULT_BLOCK_ROWS,
-                 resume: bool = True, attempt: int | None = None) -> dict:
+                 resume: bool = True, attempt: int | None = None,
+                 codec: str = "zlib") -> dict:
     """Run the encode pipeline; returns a metrics dict.
 
     ``df`` must have the input_hint schema (doc_id, tokens, n_tok,
@@ -115,7 +118,7 @@ def encode_table(spark: SparkSession, df: DataFrame, out_path: str,
               .select("doc_id", "tokens", "n_tok", "source", "pid"))
     parted = salted.repartition(num_partitions, "pid")
     blocks = parted.mapInArrow(
-        _kernel(skip, block_rows, attempt), BLOCKS_DDL)
+        _kernel(skip, block_rows, attempt, codec), BLOCKS_DDL)
 
     ddir = table_io.data_dir(out_path)
     blocks.write.mode("append").parquet(ddir)

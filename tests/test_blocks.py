@@ -140,3 +140,24 @@ def test_synth_determinism():
     assert a.equals(b)
     c = token_table(200, seed=43, row_offset=100)
     assert not a.equals(c)
+
+
+def test_codec_wrapper_roundtrip():
+    from engine import compress
+    import numpy as np
+    rng = np.random.default_rng(3)
+    for codec in ("zlib", "zlib9", "lzma1"):
+        for payload in (b"", b"a", b"ab" * 200_000,
+                        rng.integers(0, 256, 700_000).astype("u1").tobytes()):
+            assert compress.decompress_stream(
+                compress.compress_stream(payload, codec), codec) == payload
+
+
+def test_block_codec_roundtrip():
+    tbl = token_table(3000)
+    for codec in ("zlib", "lzma1"):
+        batches = list(encode_batches(tbl.to_batches(), codec=codec))
+        rows = [r for b in batches for r in b.to_pylist()]
+        assert all(r["codec"] == codec for r in rows)
+        dec = pa.Table.from_batches(list(decode_batches(batches)))
+        assert_identical(tbl, dec)
