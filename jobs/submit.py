@@ -1,0 +1,125 @@
+"""spark-submit entry points (BASELINE.json north_rule: "ships as
+spark-submit --py-files jobs").
+
+Build the dependency zip once:
+
+    python jobs/submit.py package            # -> dist/engine.zip
+
+Then run against any cluster master:
+
+    spark-submit --py-files dist/engine.zip jobs/submit.py \
+        encode --input <parquet> --output <blocks-table> [--codec zlib]
+    spark-submit --py-files dist/engine.zip jobs/submit.py \
+        decode --blocks <blocks-table> --output <parquet>
+    spark-submit --py-files dist/engine.zip jobs/submit.py \
+        verify --input <parquet> --blocks <blocks-table>
+    spark-submit --py-files dist/engine.zip jobs/submit.py \
+        synth --output <parquet> --rows 1000000
+
+The zip contains the pure-python ``engine`` and ``jobs`` packages —
+no data, no state; executors import kernels from it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+
+def package(repo_root: str | None = None, out: str | None = None) -> str:
+    root = repo_root or os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    out = out or os.path.join(root, "dist", "engine.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for pkg in ("engine", "jobs"):
+            pdir = os.path.join(root, pkg)
+            for dirpath, _, files in os.walk(pdir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+    return out
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    return SparkSession.builder.appName(app).getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="orc-format-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("package")
+    sp.add_argument("--out", default=None)
+
+    se = sub.add_parser("encode")
+    se.add_argument("--input", required=True)
+    se.add_argument("--output", required=True)
+    se.add_argument("--codec", default="zlib")
+    se.add_argument("--partitions", type=int, default=None)
+    se.add_argument("--no-resume", action="store_true")
+
+    sd = sub.add_parser("decode")
+    sd.add_argument("--blocks", required=True)
+    sd.add_argument("--output", required=True)
+
+    sv = sub.add_parser("verify")
+    sv.add_argument("--input", required=True)
+    sv.add_argument("--blocks", required=True)
+
+    ss = sub.add_parser("synth")
+    ss.add_argument("--output", required=True)
+    ss.add_argument("--rows", type=int, default=100_000)
+    ss.add_argument("--partitions", type=int, default=8)
+    ss.add_argument("--seed", type=int, default=42)
+
+    a = p.parse_args(argv)
+
+    if a.cmd == "package":
+        print(package(out=a.out))
+        return 0
+
+    if a.cmd == "encode":
+        spark = _spark("orc-format-spark-encode")
+        from jobs.encode import encode_table
+        df = spark.read.parquet(a.input)
+        m = encode_table(spark, df, a.output, num_partitions=a.partitions,
+                         resume=not a.no_resume, codec=a.codec)
+        print(json.dumps(m))
+        return 0
+
+    if a.cmd == "decode":
+        spark = _spark("orc-format-spark-decode")
+        from jobs.decode import decode_table
+        decode_table(spark, a.blocks).write.mode("overwrite") \
+            .parquet(a.output)
+        print(json.dumps({"ok": True, "output": a.output}))
+        return 0
+
+    if a.cmd == "verify":
+        spark = _spark("orc-format-spark-verify")
+        from jobs.decode import decode_table, verify_identity
+        rep = verify_identity(spark.read.parquet(a.input),
+                              decode_table(spark, a.blocks))
+        print(json.dumps(rep))
+        return 0 if rep["identical"] else 1
+
+    if a.cmd == "synth":
+        spark = _spark("orc-format-spark-synth")
+        from jobs.synth import write_token_table
+        write_token_table(spark, a.output, rows=a.rows,
+                          partitions=a.partitions, seed=a.seed)
+        print(json.dumps({"ok": True, "rows": a.rows}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

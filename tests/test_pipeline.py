@@ -105,3 +105,12 @@ def test_partitioning_spreads_tokens(spark, token_parquet, tmp_path):
     assert len(loads) >= 4
     total = loads.sum()
     assert loads.max() / (total / 8) < 3.0, loads
+
+
+def test_submit_package_zip(tmp_path):
+    from jobs.submit import package
+    out = package(out=str(tmp_path / "engine.zip"))
+    import zipfile
+    names = zipfile.ZipFile(out).namelist()
+    assert "engine/rle2.py" in names and "jobs/encode.py" in names
+    assert not any(n.endswith((".pyc", ".parquet")) for n in names)
