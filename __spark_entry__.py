@@ -242,7 +242,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stride_stats": _q_stride_stats,                  # M2
         # relational sanity over decoded output
         "source_stats": _q_source_stats,
+        # training-data pipeline operators (pipeline/: dedup,
+        # similarity, text analysis, multimodal plumbing)
+        **_pipeline_queries(),
     }
+
+
+def _pipeline_queries():
+    from pipeline.queries import QUERIES
+    return QUERIES
 
 
 def entry_at(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,4 +317,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM({_SQL_NTOK}) AS BIGINT) AS sum_ntok
             FROM documents GROUP BY source""",
+        **_pipeline_oracles(),
     }
+
+
+def _pipeline_oracles():
+    from pipeline.queries import ORACLES
+    return ORACLES

@@ -1,0 +1,258 @@
+"""Driver-contract queries + DuckDB oracles for the training-data
+pipeline operators (__spark_entry__ merges these).
+
+Each SQL-expressible operator is oracle-checked end-to-end: the Spark
+side runs the real operator, the oracle recomputes the same semantics
+in DuckDB — matching values prove the operator, not just the plumbing.
+Hash-based operators (MinHash/SimHash/hyperplane-LSH) use
+Spark-specific xxhash64, so they get rows-only checks; their
+*semantics* are still verified here against exact oracles (LSH recall
+vs the exact-Jaccard oracle, bucketed-cosine vs brute-force cosine)
+inside tests/test_pipeline_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# shared DuckDB fragments ---------------------------------------------------
+
+_SQL_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SQL_WORDS_RAW = "regexp_split_to_array(trim(text), '\\s+')"
+_SQL_SHINGLES = f"""
+    list_distinct(list_transform(
+        range(0, greatest(len({_SQL_WORDS_RAW}) - 2, 0)),
+        i -> concat_ws(' ', {_SQL_WORDS_RAW}[i + 1],
+                       {_SQL_WORDS_RAW}[i + 2], {_SQL_WORDS_RAW}[i + 3])))
+"""
+_EN = "['the','and','of','to','in','is','that','it','for']"
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pipeline.dedup import exact_dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from pipeline.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from pipeline.dedup import minhash_lsh_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold=0.3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from pipeline.dedup import simhash_near_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_pairs(docs, max_hamming=10)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from pipeline.dedup import embedding_near_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.withColumn(
+        "embedding", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    return (embedding_near_pairs(emb, threshold=0.2)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos_r")))
+
+
+def q_ann_topk(spark, sf_dir):
+    from pipeline.similarity import brute_force_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.withColumn(
+        "embedding", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    q = (emb.where(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")))
+    return (brute_force_topk(emb, q, k=10)
+            .select("query_id", "vec_id", "rank"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    from pipeline.similarity import lsh_bucketed_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    emb = emb.withColumn(
+        "embedding", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    return (lsh_bucketed_pairs(emb, dim, threshold=0.2, planes=6)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos_r")))
+
+
+def q_text_quality(spark, sf_dir):
+    from pipeline.text import quality_features
+    return quality_features(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_text_tokens(spark, sf_dir):
+    from pipeline.text import token_counts
+    return token_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from pipeline.text import fingerprints
+    return fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_text_langid(spark, sf_dir):
+    from pipeline.text import lang_scores
+    return lang_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_mm_blob_features(spark, sf_dir):
+    from pipeline.multimodal import blob_features, synth_blobs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return blob_features(synth_blobs(docs))
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    from pipeline.multimodal import frame_sample, synth_blobs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = frame_sample(synth_blobs(docs), every=4)
+    return (fr.groupBy("doc_id")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.sum(F.octet_length("frame")).alias("frame_bytes")))
+
+
+def q_mm_decode_stub(spark, sf_dir):
+    from pipeline.multimodal import decode_stub_features, synth_blobs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_stub_features(synth_blobs(docs))
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding,
+    "ann_topk_bruteforce": q_ann_topk,
+    "ann_lsh_bucketed": q_ann_lsh,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "text_langid": q_text_langid,
+    "mm_blob_features": q_mm_blob_features,
+    "mm_frame_sample": q_mm_frame_sample,
+    "mm_decode_stub": q_mm_decode_stub,
+}
+
+_LANG_LISTS = {
+    "en": _EN,
+    "de": "['der','die','und','das','ist','nicht','ein','mit']",
+    "fr": "['le','la','les','de','et','est','une','dans','que']",
+    "es": "['el','la','los','de','y','es','una','en','que']",
+}
+
+_SQL_LANG_SCORES = ", ".join(
+    f"len(list_filter({_SQL_WORDS}, x -> list_contains({lst}, x)))"
+    f" / greatest(len({_SQL_WORDS}), 1) AS score_{lang}"
+    for lang, lst in _LANG_LISTS.items())
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY text""",
+    "dedup_ngram_jaccard": f"""
+        WITH t AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM t a, t b
+        WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3""",
+    "dedup_embedding_cosine": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])),
+                     6) AS cos_r
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.2""",
+    "ann_topk_bruteforce": """
+        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                              CAST(b.embedding AS DOUBLE[]),
+                              CAST(q.embedding AS DOUBLE[])) DESC,
+                            b.vec_id) AS rank
+          FROM embeddings b, embeddings q WHERE q.vec_id < 5)
+        WHERE rank <= 10""",
+    "text_quality": f"""
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars_m,
+               CAST(len({_SQL_WORDS}) AS INTEGER) AS n_words,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                    AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS DOUBLE) / greatest(length(text), 1) AS digit_ratio,
+               CAST(len(list_filter({_SQL_WORDS},
+                        x -> list_contains({_EN}, x))) AS DOUBLE)
+                 / greatest(len({_SQL_WORDS}), 1) AS stopword_en,
+               CAST(list_sum(list_transform({_SQL_WORDS},
+                                            x -> length(x))) AS DOUBLE)
+                 / greatest(len({_SQL_WORDS}), 1) AS mean_word_len
+        FROM documents""",
+    "text_tokens": r"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(
+                    text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0))
+                    AS INTEGER) AS bpe_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_m,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        FROM documents""",
+    "text_fingerprint": r"""
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                 AS fingerprint
+        FROM documents""",
+    "text_langid": f"""
+        SELECT doc_id, score_en, score_de, score_fr, score_es,
+               CASE WHEN greatest(score_en, score_de, score_fr, score_es)
+                         = 0 THEN 'und'
+                    WHEN score_en >= greatest(score_de, score_fr, score_es)
+                         THEN 'en'
+                    WHEN score_de >= greatest(score_fr, score_es)
+                         THEN 'de'
+                    WHEN score_fr >= score_es THEN 'fr'
+                    ELSE 'es' END AS lang_guess
+        FROM (SELECT doc_id, {_SQL_LANG_SCORES} FROM documents)""",
+    "mm_blob_features": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               md5(text) AS digest,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER)
+                 AS width,
+               CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER)
+                 AS height
+        FROM documents""",
+    "mm_frame_sample": """
+        WITH t AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 octet_length(encode(text)) AS n,
+                 octet_length(encode(text)) % 30 + 1 AS nf
+          FROM documents),
+        u AS (SELECT doc_id, n, nf,
+                     greatest(n // nf, 1) AS fsz,
+                     list_filter(range(0, nf), i -> i % 4 = 0) AS kept
+              FROM t)
+        SELECT doc_id,
+               CAST(len(kept) AS BIGINT) AS n_sampled,
+               CAST(list_sum(list_transform(kept,
+                    i -> greatest(least(fsz, n - i * fsz), 0)))
+                    AS BIGINT) AS frame_bytes
+        FROM u""",
+}

@@ -1,0 +1,87 @@
+"""Semantic checks for the hash-based pipeline operators that cannot
+be DuckDB-oracled (xxhash64-specific): MinHash-LSH recall against the
+exact-Jaccard oracle, hyperplane-LSH precision against brute-force
+cosine, SimHash sanity."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .withColumn("embedding",
+                        F.expr("transform(embedding, "
+                               "x -> CAST(x AS DOUBLE))")).cache())
+
+
+def pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    from pipeline.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    exact = pairs(ngram_jaccard_pairs(docs, threshold=0.3))
+    lsh = pairs(minhash_lsh_pairs(docs, threshold=0.3))
+    assert exact, "fixture should contain near-duplicate docs"
+    # precision is 1.0 by construction (candidates verified exactly)
+    assert lsh <= exact
+    # banding (16 bands x 4 rows) at jaccard >= 0.3: high recall
+    assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
+
+
+def test_simhash_finds_exact_duplicates(spark, docs):
+    from pipeline.dedup import simhash_near_pairs
+    # identical texts must have identical signatures (hamming 0);
+    # give the copies fresh doc_ids so the pair join sees them
+    base = docs.limit(5)
+    copies = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    got = simhash_near_pairs(base.union(copies), max_hamming=0)
+    assert got.count() >= 5
+
+
+def test_lsh_bucketed_subset_of_bruteforce(spark, emb):
+    from pipeline.dedup import embedding_near_pairs
+    from pipeline.similarity import lsh_bucketed_pairs
+    dim = len(emb.select("embedding").first()["embedding"])
+    brute = pairs(embedding_near_pairs(emb, threshold=0.2))
+    lsh = pairs(lsh_bucketed_pairs(emb, dim, threshold=0.2, planes=6))
+    assert lsh <= brute  # exact verify inside buckets -> precision 1.0
+    if brute:
+        assert len(lsh) > 0  # some recall at 6 planes
+
+
+def test_topk_contains_self(spark, emb):
+    from pipeline.similarity import brute_force_topk
+    q = (emb.where(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")))
+    top = brute_force_topk(emb, q, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == qid and abs(best["cos"] - 1.0) < 1e-9
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    from pipeline.dedup import exact_dedup
+    planted = docs.limit(10).union(docs.limit(10))
+    out = exact_dedup(planted)
+    dups = out.where(F.col("n_copies") >= 2)
+    assert dups.count() == 10
+
+
+def test_multimodal_stub_raises_without_codecs():
+    from pipeline import multimodal
+    with pytest.raises(NotImplementedError):
+        multimodal.require_codecs()
