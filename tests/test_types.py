@@ -1,0 +1,125 @@
+"""Per-type encoder tests (SURVEY.md §2.4): round-trips + cross-
+implementation decode of streams written by ORC C++ (pyarrow)."""
+
+import datetime
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.orc as orc
+import pytest
+
+from engine import types as T
+from tests.orc_tail import parse_orc
+
+RNG = np.random.default_rng(31)
+
+
+def _orc_stripe(arr, pa_type=None):
+    f = tempfile.mktemp(suffix=".orc")
+    col = pa.array(arr, type=pa_type)
+    orc.write_table(pa.table({"x": col}), f, compression="uncompressed")
+    return parse_orc(f)[0]
+
+
+# --- T1 float/double -------------------------------------------------------
+
+def test_float_roundtrip():
+    for double in (True, False):
+        v = RNG.normal(size=1000)
+        enc = T.encode_floats(v, double=double)
+        dec = T.decode_floats(enc, 1000, double=double)
+        assert np.array_equal(
+            dec, v.astype(np.float64 if double else np.float32))
+
+
+def test_float_cross_impl():
+    v = RNG.normal(size=2000)
+    s = _orc_stripe(v, pa.float64())
+    dec = T.decode_floats(s["streams"][(1, "DATA")], 2000)
+    assert np.array_equal(dec, v)
+    v32 = v.astype(np.float32)
+    s = _orc_stripe(v32, pa.float32())
+    dec = T.decode_floats(s["streams"][(1, "DATA")], 2000, double=False)
+    assert np.array_equal(dec, v32)
+
+
+# --- T4 date ---------------------------------------------------------------
+
+def test_date_roundtrip_and_cross_impl():
+    days = RNG.integers(-30000, 30000, 1500)
+    assert np.array_equal(T.decode_date(T.encode_date(days), 1500), days)
+    dates = [datetime.date(1970, 1, 1) + datetime.timedelta(days=int(d))
+             for d in days]
+    s = _orc_stripe(dates, pa.date32())
+    dec = T.decode_date(s["streams"][(1, "DATA")], 1500)
+    assert np.array_equal(dec, days)
+
+
+# --- T3 timestamp ----------------------------------------------------------
+
+def test_timestamp_roundtrip():
+    base = 1_700_000_000 * 1_000_000_000
+    nanos = np.concatenate([
+        RNG.integers(0, 10 ** 9, 500),
+        RNG.integers(0, 10 ** 6, 500) * 1000,       # micros (3 zeros)
+        RNG.integers(0, 10 ** 3, 500) * 1_000_000,  # millis (6 zeros)
+        np.zeros(100, dtype=np.int64),
+    ])
+    t = base + RNG.integers(-10 ** 9, 10 ** 9, nanos.size) \
+        * 1_000_000_000 + nanos
+    data, sec = T.encode_timestamp(t)
+    dec = T.decode_timestamp(data, sec, t.size)
+    assert np.array_equal(dec, t)
+
+
+def test_timestamp_cross_impl():
+    # pyarrow writes timestamp[ns] ORC columns with the same layout
+    t = np.array([1_500_000_000_000_000_000 + i * 1_000_003
+                  for i in range(1000)], dtype=np.int64)
+    s = _orc_stripe(t.view("datetime64[ns]"), pa.timestamp("ns"))
+    dec = T.decode_timestamp(s["streams"][(1, "DATA")],
+                             s["streams"][(1, "SECONDARY")], 1000)
+    assert np.array_equal(dec, t)
+
+
+# --- T2 decimal64 ----------------------------------------------------------
+
+def test_decimal64_roundtrip():
+    v = RNG.integers(-(10 ** 17), 10 ** 17, 2000)
+    assert np.array_equal(
+        T.decode_decimal64(T.encode_decimal64(v), 2000), v)
+
+
+# --- T5 binary -------------------------------------------------------------
+
+def test_binary_roundtrip_and_cross_impl():
+    blobs = [RNG.integers(0, 256, RNG.integers(0, 50)).astype(np.uint8)
+             .tobytes() for _ in range(800)]
+    data = np.frombuffer(b"".join(blobs), np.uint8)
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    enc = T.encode_binary(data, lens)
+    ddata, dlens = T.decode_binary(enc, 800)
+    assert np.array_equal(dlens, lens)
+    assert ddata.tobytes() == data.tobytes()
+    s = _orc_stripe(blobs, pa.binary())
+    got_lens = T.decode_binary(
+        {"data": b"", "length": s["streams"][(1, "LENGTH")]}, 800)[1]
+    assert np.array_equal(got_lens, lens)
+    assert s["streams"][(1, "DATA")] == data.tobytes()
+
+
+# --- S5 char / varchar -----------------------------------------------------
+
+def test_char_pad_and_varchar_truncate():
+    vals = [b"a", b"abcdef", b"", b"abc"]
+    data = np.frombuffer(b"".join(vals), np.uint8)
+    lens = np.array([len(v) for v in vals], dtype=np.int64)
+    # CHAR(4): pad to 4
+    enc = T.encode_char(data, lens, width=4, pad=True)
+    out = T.decode_char(enc, 4)
+    assert out.to_pylist() == ["a   ", "abcd", "    ", "abc "]
+    # VARCHAR(4): truncate only
+    enc = T.encode_char(data, lens, width=4, pad=False)
+    out = T.decode_char(enc, 4)
+    assert out.to_pylist() == ["a", "abcd", "", "abc"]
