@@ -177,6 +177,73 @@ def _str_codec_query(col_expr: str, out_name: str, mode: str):
     return q
 
 
+def _q_float_roundtrip(spark, sf_dir):
+    """T1 float/double codec: events.value through raw IEEE streams."""
+    import numpy as np
+    import pyarrow as pa
+    from engine.types import decode_floats, encode_floats
+
+    def kernel(batches):
+        for b in batches:
+            v = b.column("value").to_numpy()
+            dec = decode_floats(encode_floats(v, double=True), len(v))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("event_id"), pa.array(dec, type=pa.float64())],
+                names=["event_id", "value"])
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")         .select("event_id", "value")
+    return ev.mapInArrow(kernel, "event_id bigint, value double")
+
+
+def _q_timestamp_roundtrip(spark, sf_dir):
+    """T3 timestamp codec: events.ts through the seconds-from-2015 +
+    trailing-zero-nanos stream pair; returned as epoch micros."""
+    import numpy as np
+    import pyarrow as pa
+    from engine.types import decode_timestamp, encode_timestamp
+
+    def kernel(batches):
+        for b in batches:
+            us = b.column("ts_us").to_numpy().astype(np.int64)
+            data, sec = encode_timestamp(us * 1000)
+            dec = decode_timestamp(data, sec, len(us)) // 1000
+            yield pa.RecordBatch.from_arrays(
+                [b.column("event_id"), pa.array(dec, type=pa.int64())],
+                names=["event_id", "ts_us"])
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("ts_us"))
+    return ev.mapInArrow(kernel, "event_id bigint, ts_us bigint")
+
+
+def _q_char_varchar(spark, sf_dir):
+    """S5 char/varchar semantics: CHAR(8) pad + VARCHAR(5) truncate of
+    events.event_type through the binary length-stream codec."""
+    import numpy as np
+    import pyarrow as pa
+    from engine.strings import arrow_bytes_lengths
+    from engine.types import decode_char, encode_char
+
+    def kernel(batches):
+        for b in batches:
+            arr = b.column("event_type")
+            data, lens = arrow_bytes_lengths(arr)
+            c8 = decode_char(encode_char(data, lens, 8, pad=True),
+                             len(arr))
+            v5 = decode_char(encode_char(data, lens, 5, pad=False),
+                             len(arr))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("event_id"), c8.cast(pa.string()),
+                 v5.cast(pa.string())],
+                names=["event_id", "char8", "varchar5"])
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")         .select("event_id", "event_type")
+    return ev.mapInArrow(kernel,
+                         "event_id bigint, char8 string, varchar5 string")
+
+
 def _q_block_stats(spark, sf_dir):
     """Footer-style metadata only — no decode: global stats read from
     block columns (M1 column statistics)."""
@@ -237,6 +304,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsst_roundtrip_docid": _str_codec_query(
             "concat(source, '/', CAST(doc_id AS STRING), '/', "
             "CAST(n_chars AS STRING))", "key", "fsst"),   # S4
+        # per-type encoders (SURVEY.md §2.4)
+        "float_roundtrip": _q_float_roundtrip,            # T1
+        "timestamp_roundtrip": _q_timestamp_roundtrip,    # T3
+        "char_varchar_roundtrip": _q_char_varchar,        # S5
         # metadata operators
         "block_stats": _q_block_stats,                    # M1, M4
         "stride_stats": _q_stride_stats,                  # M2
@@ -293,6 +364,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "concat(source, '/', CAST(doc_id AS VARCHAR), '/', "
             "CAST(n_chars AS VARCHAR)) AS key FROM documents",
+        "float_roundtrip":
+            "SELECT event_id, value FROM events",
+        "timestamp_roundtrip":
+            "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us "
+            "FROM events",
+        "char_varchar_roundtrip":
+            "SELECT event_id, rpad(substr(event_type, 1, 8), 8, ' ') "
+            "AS char8, substr(event_type, 1, 5) AS varchar5 FROM events",
         "block_stats": f"""
             SELECT CAST(SUM(n_tok) AS BIGINT) AS n_values,
                    CAST(MIN(tok_min) AS BIGINT) AS tok_min,

@@ -161,8 +161,8 @@ def decode_rlev1(buf, n: int, signed: bool = True) -> np.ndarray:
     """Decode an ORC RLEv1 stream into ``n`` int64 values."""
     if n == 0:
         return np.zeros(0, dtype=_I64)
-    data = np.ascontiguousarray(buf, dtype=np.uint8)
-    raw = data.tobytes()
+    raw = bytes(buf)
+    data = np.frombuffer(raw, dtype=np.uint8)
     pos = 0
     produced = 0
     run_off, run_base, run_delta, run_cnt = [], [], [], []
@@ -281,8 +281,8 @@ def decode_byte_rle(buf, n: int) -> np.ndarray:
     """Decode an ORC byte-RLE stream into ``n`` uint8 values."""
     if n == 0:
         return np.zeros(0, dtype=np.uint8)
-    data = np.ascontiguousarray(buf, dtype=np.uint8)
-    raw = data.tobytes()
+    raw = bytes(buf)
+    data = np.frombuffer(raw, dtype=np.uint8)
     pos = 0
     produced = 0
     run_off, run_val, run_cnt = [], [], []

@@ -163,3 +163,43 @@ def test_bool_mostly_set_compresses():
     # PRESENT stream of all-valid rows must collapse to a few bytes
     m = np.ones(100_000, dtype=bool)
     assert encode_bool(m).size < 300
+
+
+def test_rlev1_cross_impl_v011():
+    """Decode RLEv1 streams written by ORC C++ (file_version 0.11 files
+    use RLEv1 for integer DATA)."""
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.orc as orc
+    from tests.orc_tail import parse_orc
+    rng = np.random.default_rng(77)
+    v = np.concatenate([
+        np.repeat(rng.integers(0, 100, 50), 10),
+        rng.integers(-(2 ** 30), 2 ** 30, 500),
+        np.arange(0, 1000, 3),
+    ]).astype(np.int64)
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(pa.table({"x": v}), f, compression="uncompressed",
+                    file_version="0.11")
+    s = parse_orc(f)[0]
+    assert np.array_equal(
+        decode_rlev1(s["streams"][(1, "DATA")], s["n_rows"]), v)
+
+
+def test_bool_cross_impl_present_stream():
+    """Decode a PRESENT stream written by ORC C++ (nullable column)."""
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.orc as orc
+    from tests.orc_tail import parse_orc
+    rng = np.random.default_rng(78)
+    mask = rng.random(5000) < 0.7
+    vals = [int(x) if m else None
+            for x, m in zip(rng.integers(0, 100, 5000), mask)]
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(pa.table({"x": pa.array(vals, type=pa.int64())}), f,
+                    compression="uncompressed")
+    s = parse_orc(f)[0]
+    got = decode_bool(np.frombuffer(s["streams"][(1, "PRESENT")],
+                                    np.uint8), 5000)
+    assert np.array_equal(got, mask)
