@@ -15,8 +15,31 @@ from engine.blocks import TOKEN_DDL, decode_batches
 from jobs.encode import read_blocks
 
 
-def decode_table(spark: SparkSession, blocks_path: str) -> DataFrame:
+def decode_table(spark: SparkSession, blocks_path: str,
+                 tok_min: int | None = None,
+                 tok_max: int | None = None,
+                 ntok_min: int | None = None,
+                 ntok_max: int | None = None) -> DataFrame:
+    """Decode the blocks table, optionally pruning by footer-style
+    block statistics BEFORE any decode work.
+
+    The stat columns are plain int64 parquet columns, so Catalyst
+    pushes these filters into the scan (PushedFilters on tokens.vmin /
+    tokens.vmax — parquet row-group min/max skipping applies) and
+    whole blocks are skipped without touching their binary streams —
+    the ORC RowIndex/stripe-skip capability (SURVEY.md M2/M6), Spark-
+    native. Value-range predicates keep only blocks whose [vmin, vmax]
+    intersects the requested range.
+    """
     blocks = read_blocks(spark, blocks_path)
+    if tok_min is not None:
+        blocks = blocks.where(F.col("tokens.vmax") >= tok_min)
+    if tok_max is not None:
+        blocks = blocks.where(F.col("tokens.vmin") <= tok_max)
+    if ntok_min is not None:
+        blocks = blocks.where(F.col("ntok.vmax") >= ntok_min)
+    if ntok_max is not None:
+        blocks = blocks.where(F.col("ntok.vmin") <= ntok_max)
     return blocks.mapInArrow(decode_batches, TOKEN_DDL)
 
 
