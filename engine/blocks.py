@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import compress, fsst, rle1, rle2, strings
+from . import bloom, compress, fsst, rle1, rle2, strings
 from ._util import cumsum0
 
 STRIDE_ROWS = 10_000  # orc.row.index.stride default (orcconf.txt:5)
@@ -99,6 +99,7 @@ BLOCKS_SCHEMA = pa.schema([
     ("doc_id", STR_COL_TYPE),
     ("source", STR_COL_TYPE),
     ("strides", pa.list_(STRIDE_TYPE)),
+    ("bloom_doc_id", pa.large_binary()),
     ("codec", pa.string()),
     ("lineage", LINEAGE_TYPE),
 ])
@@ -117,6 +118,7 @@ BLOCKS_DDL = (
     "dict_size:int, present:binary, n_nulls:bigint>, "
     "strides array<struct<row0:bigint, n_rows:bigint, n_values:bigint, "
     "tok_min:bigint, tok_max:bigint>>, "
+    "bloom_doc_id binary, "
     "codec string, "
     "lineage struct<input_part:int, row_start:bigint, n_rows:bigint, "
     "attempt:int, wall_ms:double, in_bytes:bigint, out_bytes:bigint>"
@@ -326,13 +328,25 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
 
     in_bytes = sum(
         buf.size for col in batch.columns for buf in col.buffers() if buf)
+    # per-block doc_id bloom (M3): ORC-compatible hashing, enables
+    # point-lookup block skipping without decode (jobs/decode.py)
+    did_present, _, did_arr = _present(doc_id)
+    if len(did_arr):
+        ddata, dlens = strings.arrow_bytes_lengths(did_arr)
+        bfilter = bloom.BloomFilter(max(len(did_arr), 64))
+        bfilter.add_strings(ddata, dlens)
+        bloom_blob = bfilter.serialize()
+    else:
+        bloom_blob = _EMPTY
+
     row = {
         "block_id": f"p{part_id:06d}b{block_idx:05d}",
         "part_id": int(part_id), "row_start": int(row_start),
         "n_rows": int(n), "n_values": int(vals.size),
         "ntok": ntok_col, "tokens": tokens_col,
         "doc_id": doc_col, "source": src_col,
-        "strides": strides, "codec": codec,
+        "strides": strides, "bloom_doc_id": bloom_blob,
+        "codec": codec,
     }
     out_bytes = sum(
         len(c[k]) for c in (ntok_col, tokens_col, doc_col, src_col)

@@ -63,3 +63,36 @@ def verify_identity(input_df: DataFrame, decoded_df: DataFrame) -> dict:
         "missing": missing, "extra": extra,
         "identical": missing == 0 and extra == 0 and n_in == n_out,
     }
+
+
+def lookup_doc_ids(spark: SparkSession, blocks_path: str,
+                   doc_ids: list[str]) -> DataFrame:
+    """Point lookups: bloom-prune blocks by doc_id BEFORE decoding.
+
+    The per-block bloom (ORC BloomFilterUtf8 semantics) is tested in a
+    vectorized Arrow kernel over the block rows; only blocks that might
+    contain one of the requested ids are decoded, then the exact filter
+    applies. At 10^12 rows this reads bloom blobs (~1.5 KB per 8k-row
+    block) instead of token streams for point queries.
+    """
+    ids = [str(d) for d in doc_ids]
+
+    def prune_and_decode(batches):
+        import numpy as np
+        import pyarrow as pa
+        from engine.blocks import decode_block
+        from engine.bloom import BloomFilter
+        qdata = np.frombuffer("".join(ids).encode(), np.uint8)
+        qlens = np.array([len(i.encode()) for i in ids], dtype=np.int64)
+        for batch in batches:
+            for row in batch.to_pylist():
+                blob = row.get("bloom_doc_id")
+                if blob:
+                    bf = BloomFilter.deserialize(blob)
+                    if not bf.test_strings(qdata, qlens).any():
+                        continue  # bloom-pruned: skip whole block
+                yield decode_block(row)
+
+    blocks = read_blocks(spark, blocks_path)
+    dec = blocks.mapInArrow(prune_and_decode, TOKEN_DDL)
+    return dec.where(F.col("doc_id").isin(ids))

