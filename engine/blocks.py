@@ -295,14 +295,33 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
         ntok_col["kind"] = KIND_RLEV2 + "=LENGTH"
         ntok_col["data"] = _EMPTY
 
-    length_col = _encode_int_column(lens, tok_present, tok_nulls,
-                                    with_stats=False)
-    tokens_col = _encode_int_column(vals, _EMPTY, 0)
-    # pack LENGTH stream alongside child DATA: tokens.data carries
-    # [u32 len_of_length_stream][length_stream][values_stream]
-    lb = length_col["data"]
-    tokens_col["data"] = (np.uint32(len(lb)).tobytes() + lb
-                          + tokens_col["data"])
+    # encode LENGTH + child DATA with chunk directories: the encoder
+    # knows per-chunk byte sizes for free, and the directory lets
+    # decode skip the sequential RLEv2 header walk (60% of decode time
+    # measured). Directories are themselves RLEv2-unsigned streams.
+    lstream, lsizes = rle2.encode_rlev2(lens, signed=True,
+                                        with_sizes=True)
+    vstream, vsizes = rle2.encode_rlev2(vals, signed=True,
+                                        with_sizes=True)
+    # directories are tiny and highly repetitive -> always zlib-framed
+    ldir = compress.compress_stream(
+        rle2.encode_rlev2(lsizes, signed=False), "zlib")
+    vdir = compress.compress_stream(
+        rle2.encode_rlev2(vsizes, signed=False), "zlib")
+    tokens_col = {"kind": KIND_RLEV2, "present": _EMPTY, "n_nulls": 0,
+                  "vmin": int(vals.min()) if vals.size else 0,
+                  "vmax": int(vals.max()) if vals.size else 0,
+                  "vsum": int(vals.sum()) if vals.size else 0}
+    # blob layout v2: u32 llen | lstream | u32 nlchunks | u32 ldlen |
+    # ldir | u32 nvchunks | u32 vdlen | vdir | vstream
+    lb = lstream.tobytes()
+    tokens_col["data"] = (
+        np.uint32(len(lb)).tobytes() + lb
+        + np.uint32(len(lsizes)).tobytes()
+        + np.uint32(len(ldir)).tobytes() + ldir
+        + np.uint32(len(vsizes)).tobytes()
+        + np.uint32(len(vdir)).tobytes() + vdir
+        + vstream.tobytes())
     tokens_col["present"] = tok_present
     tokens_col["n_nulls"] = tok_nulls
 
@@ -383,13 +402,33 @@ def decode_block(row: dict) -> pa.RecordBatch:
             row[c] = _unwrap_codec(row[c], codec)
     tok = row["tokens"]
     raw = tok["data"]
-    llen = int(np.frombuffer(raw[:4], np.uint32)[0])
-    lstream = np.frombuffer(raw[4: 4 + llen], np.uint8)
-    vstream = np.frombuffer(raw[4 + llen:], np.uint8)
+    p = 0
+    llen = int(np.frombuffer(raw[p: p + 4], np.uint32)[0])
+    p += 4
+    lstream = np.frombuffer(raw[p: p + llen], np.uint8)
+    p += llen
+    nlchunks = int(np.frombuffer(raw[p: p + 4], np.uint32)[0])
+    p += 4
+    ldlen = int(np.frombuffer(raw[p: p + 4], np.uint32)[0])
+    p += 4
+    ldir = np.frombuffer(raw[p: p + ldlen], np.uint8)
+    p += ldlen
+    nvchunks = int(np.frombuffer(raw[p: p + 4], np.uint32)[0])
+    p += 4
+    vdlen = int(np.frombuffer(raw[p: p + 4], np.uint32)[0])
+    p += 4
+    vdir = np.frombuffer(raw[p: p + vdlen], np.uint8)
+    p += vdlen
+    vstream = np.frombuffer(raw[p:], np.uint8)
     tok_nulls = int(tok["n_nulls"])
-    lens = rle2.decode_rlev2(lstream, n - tok_nulls, signed=True)
+    lsizes = rle2.decode_rlev2(
+        compress.decompress_stream(ldir, "zlib"), nlchunks, signed=False)
+    lens = rle2.decode_rlev2(lstream, n - tok_nulls, signed=True,
+                             sizes=lsizes)
     nvals = int(lens.sum())
-    vals = rle2.decode_rlev2(vstream, nvals, signed=True)
+    vsizes = rle2.decode_rlev2(
+        compress.decompress_stream(vdir, "zlib"), nvchunks, signed=False)
+    vals = rle2.decode_rlev2(vstream, nvals, signed=True, sizes=vsizes)
 
     offsets = cumsum0(lens).astype(np.int32)
     flat = pa.array(vals.astype(np.int32), type=pa.int32())

@@ -374,13 +374,20 @@ def _scatter_var(out, offs, lens, data):
     out[span_positions(offs, lens)] = data
 
 
-def encode_rlev2(values, signed: bool = True, aligned: bool = True
-                 ) -> np.ndarray:
-    """Encode an integer array as an ORC RLEv2 stream (uint8 array)."""
+def encode_rlev2(values, signed: bool = True, aligned: bool = True,
+                 with_sizes: bool = False):
+    """Encode an integer array as an ORC RLEv2 stream (uint8 array).
+
+    ``with_sizes=True`` additionally returns the per-chunk byte sizes
+    (the encoder knows them for free) — a chunk directory that lets
+    :func:`decode_rlev2` skip its sequential header walk entirely on
+    our own streams (foreign ORC streams still decode via the walk).
+    """
     v = np.ascontiguousarray(values, dtype=_I64)
     n = v.size
     if n == 0:
-        return np.zeros(0, dtype=np.uint8)
+        z = np.zeros(0, dtype=np.uint8)
+        return (z, np.zeros(0, dtype=np.int64)) if with_sizes else z
     zz = vi.zigzag_encode(v) if signed else v.view(_U64)
 
     ch = _plan(v, zz, aligned)
@@ -533,6 +540,8 @@ def encode_rlev2(values, signed: bool = True, aligned: bool = True
     if pat_state is not None and pat_ok.any():
         _emit_patched(out, offs[pt_idx[pat_ok]], pat_state, pat_ok)
 
+    if with_sizes:
+        return out, sizes
     return out
 
 
@@ -586,7 +595,8 @@ def _speculative_tables(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return sizes, counts
 
 
-def decode_rlev2(buf, n: int, signed: bool = True) -> np.ndarray:
+def decode_rlev2(buf, n: int, signed: bool = True,
+                 sizes=None) -> np.ndarray:
     """Decode an ORC RLEv2 stream into ``n`` int64 values.
 
     Decodes any spec-conformant stream (cross-implementation: streams
@@ -599,26 +609,37 @@ def decode_rlev2(buf, n: int, signed: bool = True) -> np.ndarray:
         return np.zeros(0, dtype=_I64)
     bufarr = np.ascontiguousarray(np.frombuffer(bytes(buf), dtype=np.uint8))
     m = bufarr.size
-    sizes_at, counts_at = _speculative_tables(bufarr)
-
-    # ---- header walk (sequential by nature, but O(1) python per chunk)
-    starts_l: list[int] = []
-    append = starts_l.append
-    pos = 0
-    produced = 0
-    while produced < n:
-        if pos >= m:
-            raise ValueError("RLEv2 stream truncated")
-        append(pos)
-        produced += counts_at[pos]
-        pos += sizes_at[pos]
-    if produced != n:
-        raise ValueError(f"RLEv2 stream produced {produced} values, "
-                         f"expected {n}")
-    starts = np.array(starts_l, dtype=np.int64)
-    h = bufarr[starts].astype(np.int64)
-    tag = h >> 6
-    counts = counts_at[starts]
+    if sizes is not None:
+        # chunk directory: no walk, no speculative tables
+        sizes = np.asarray(sizes, dtype=np.int64)
+        starts = cumsum0(sizes)[:-1]
+        h = bufarr[starts].astype(np.int64)
+        tag = h >> 6
+        b1 = bufarr[np.minimum(starts + 1, m - 1)].astype(np.int64)
+        counts = np.where(tag == 0, (h & 7) + 3,
+                          (((h & 1) << 8) | b1) + 1)
+        if int(counts.sum()) != n:
+            raise ValueError("chunk directory does not match stream")
+    else:
+        sizes_at, counts_at = _speculative_tables(bufarr)
+        # ---- header walk (sequential by nature, O(1) python per chunk)
+        starts_l: list[int] = []
+        append = starts_l.append
+        pos = 0
+        produced = 0
+        while produced < n:
+            if pos >= m:
+                raise ValueError("RLEv2 stream truncated")
+            append(pos)
+            produced += counts_at[pos]
+            pos += sizes_at[pos]
+        if produced != n:
+            raise ValueError(f"RLEv2 stream produced {produced} values, "
+                             f"expected {n}")
+        starts = np.array(starts_l, dtype=np.int64)
+        h = bufarr[starts].astype(np.int64)
+        tag = h >> 6
+        counts = counts_at[starts]
     out_offs = cumsum0(counts)[:-1]
     out = np.empty(n, dtype=_I64)
 
