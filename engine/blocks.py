@@ -261,7 +261,8 @@ def _unwrap_codec(col: dict, codec: str) -> dict:
 
 def encode_block(batch: pa.RecordBatch, part_id: int = 0,
                  block_idx: int = 0, row_start: int = 0,
-                 attempt: int = 0, codec: str = "none") -> dict:
+                 attempt: int = 0, codec: str = "none",
+                 dirs: bool = True) -> dict:
     """Encode one slab of token-table rows into a block row (plain dict
     matching BLOCKS_SCHEMA)."""
     t0 = time.perf_counter()
@@ -303,11 +304,16 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
                                         with_sizes=True)
     vstream, vsizes = rle2.encode_rlev2(vals, signed=True,
                                         with_sizes=True)
-    # directories are tiny and highly repetitive -> always zlib-framed
-    ldir = compress.compress_stream(
-        rle2.encode_rlev2(lsizes, signed=False), "zlib")
-    vdir = compress.compress_stream(
-        rle2.encode_rlev2(vsizes, signed=False), "zlib")
+    if dirs:
+        # directories are tiny and repetitive -> always zlib-framed
+        ldir = compress.compress_stream(
+            rle2.encode_rlev2(lsizes, signed=False), "zlib")
+        vdir = compress.compress_stream(
+            rle2.encode_rlev2(vsizes, signed=False), "zlib")
+    else:
+        # size-optimal mode: no directory, decode walks headers
+        lsizes = vsizes = np.zeros(0, dtype=np.int64)
+        ldir = vdir = _EMPTY
     tokens_col = {"kind": KIND_RLEV2, "present": _EMPTY, "n_nulls": 0,
                   "vmin": int(vals.min()) if vals.size else 0,
                   "vmax": int(vals.max()) if vals.size else 0,
@@ -422,12 +428,14 @@ def decode_block(row: dict) -> pa.RecordBatch:
     vstream = np.frombuffer(raw[p:], np.uint8)
     tok_nulls = int(tok["n_nulls"])
     lsizes = rle2.decode_rlev2(
-        compress.decompress_stream(ldir, "zlib"), nlchunks, signed=False)
+        compress.decompress_stream(ldir, "zlib"), nlchunks,
+        signed=False) if ldlen else None
     lens = rle2.decode_rlev2(lstream, n - tok_nulls, signed=True,
                              sizes=lsizes)
     nvals = int(lens.sum())
     vsizes = rle2.decode_rlev2(
-        compress.decompress_stream(vdir, "zlib"), nvchunks, signed=False)
+        compress.decompress_stream(vdir, "zlib"), nvchunks,
+        signed=False) if vdlen else None
     vals = rle2.decode_rlev2(vstream, nvals, signed=True, sizes=vsizes)
 
     offsets = cumsum0(lens).astype(np.int32)
@@ -499,7 +507,8 @@ def _slab_bounds(lens: np.ndarray, block_rows: int, block_values: int,
 def encode_batches(batches, part_id: int = 0,
                    block_rows: int = DEFAULT_BLOCK_ROWS,
                    block_values: int = DEFAULT_BLOCK_VALUES,
-                   attempt: int = 0, codec: str = "none"):
+                   attempt: int = 0, codec: str = "none",
+                   dirs: bool = True):
     """Encode a stream of Arrow batches into blocks-table batches.
 
     Slices incoming rows into slabs capped by BOTH ``block_rows`` and
@@ -526,7 +535,7 @@ def encode_batches(batches, part_id: int = 0,
             slab = tbl.slice(i, j - i).combine_chunks()
             rows.append(encode_block(slab.to_batches()[0], part_id,
                                      block_idx, row_start, attempt,
-                                     codec=codec))
+                                     codec=codec, dirs=dirs))
             row_start += j - i
             block_idx += 1
         return rows, consumed

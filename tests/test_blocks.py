@@ -161,3 +161,15 @@ def test_block_codec_roundtrip():
         assert all(r["codec"] == codec for r in rows)
         dec = pa.Table.from_batches(list(decode_batches(batches)))
         assert_identical(tbl, dec)
+
+
+def test_no_directory_mode_roundtrip():
+    tbl = token_table(2000)
+    batches = list(encode_batches(tbl.to_batches(), dirs=False))
+    dec = pa.Table.from_batches(list(decode_batches(batches)))
+    assert_identical(tbl, dec)
+    # no-dir blobs are smaller
+    b2 = list(encode_batches(tbl.to_batches(), dirs=True))
+    sz = lambda bs: sum(r["lineage"]["out_bytes"]
+                        for b in bs for r in b.to_pylist())
+    assert sz(batches) < sz(b2)
