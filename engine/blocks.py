@@ -167,7 +167,9 @@ def _decode_int_column(col: dict, n: int) -> tuple[np.ndarray, np.ndarray | None
     return vals, valid
 
 
-def _encode_str_column(arr: pa.Array, fsst_min_gain: float = 0.95) -> dict:
+def _encode_str_column(arr: pa.Array, fsst_min_gain: float = 0.95,
+                       fsst_cache: dict | None = None,
+                       cache_key: str | None = None) -> dict:
     present, n_nulls, arr = _present(arr)
     n = len(arr)
     base = {"present": present, "n_nulls": n_nulls}
@@ -180,9 +182,17 @@ def _encode_str_column(arr: pa.Array, fsst_min_gain: float = 0.95) -> dict:
                 "length": enc["length"].tobytes(),
                 "dict": enc["dict_data"].tobytes(),
                 "dict_size": int(enc["dict_size"]), **base}
-    # high cardinality: FSST vs direct by actual size
+    # high cardinality: FSST vs direct by actual size; the symbol table
+    # is reused across a partition's blocks (deterministic: built from
+    # the partition's first block) unless it stops paying off
     data, lens = strings.arrow_bytes_lengths(arr)
-    table = fsst.build_table(data, lens)
+    table = None
+    if fsst_cache is not None and cache_key in fsst_cache:
+        table = fsst_cache[cache_key]
+    if table is None:
+        table = fsst.build_table(data, lens)
+        if fsst_cache is not None:
+            fsst_cache[cache_key] = table
     if table.symbols:
         codes, clens = fsst.encode_fsst(data, lens, table)
         symtab = table.serialize()
@@ -192,6 +202,8 @@ def _encode_str_column(arr: pa.Array, fsst_min_gain: float = 0.95) -> dict:
                         clens, signed=False).tobytes(),
                     "dict": symtab.tobytes(), "dict_size": len(table.symbols),
                     **base}
+        if fsst_cache is not None:
+            fsst_cache.pop(cache_key, None)  # stale table: rebuild next
     return {"kind": KIND_DIRECT, "data": enc["data"].tobytes(),
             "length": enc["length"].tobytes(), "dict": _EMPTY,
             "dict_size": 0, **base}
@@ -262,7 +274,7 @@ def _unwrap_codec(col: dict, codec: str) -> dict:
 def encode_block(batch: pa.RecordBatch, part_id: int = 0,
                  block_idx: int = 0, row_start: int = 0,
                  attempt: int = 0, codec: str = "none",
-                 dirs: bool = True) -> dict:
+                 dirs: bool = True, fsst_cache: dict | None = None) -> dict:
     """Encode one slab of token-table rows into a block row (plain dict
     matching BLOCKS_SCHEMA)."""
     t0 = time.perf_counter()
@@ -331,8 +343,10 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
     tokens_col["present"] = tok_present
     tokens_col["n_nulls"] = tok_nulls
 
-    doc_col = _encode_str_column(doc_id)
-    src_col = _encode_str_column(source)
+    doc_col = _encode_str_column(doc_id, fsst_cache=fsst_cache,
+                                 cache_key="doc_id")
+    src_col = _encode_str_column(source, fsst_cache=fsst_cache,
+                                 cache_key="source")
 
     # stride metadata (M2): per STRIDE_ROWS rows
     strides = []
@@ -519,6 +533,7 @@ def encode_batches(batches, part_id: int = 0,
     block_idx = 0
     pending: list[pa.RecordBatch] = []
     pending_rows = 0
+    fsst_cache: dict = {}
 
     def flush(tbl: pa.Table, final: bool):
         nonlocal row_start, block_idx
@@ -535,7 +550,8 @@ def encode_batches(batches, part_id: int = 0,
             slab = tbl.slice(i, j - i).combine_chunks()
             rows.append(encode_block(slab.to_batches()[0], part_id,
                                      block_idx, row_start, attempt,
-                                     codec=codec, dirs=dirs))
+                                     codec=codec, dirs=dirs,
+                                     fsst_cache=fsst_cache))
             row_start += j - i
             block_idx += 1
         return rows, consumed
