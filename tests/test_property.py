@@ -1,0 +1,92 @@
+"""Property-based round-trip tests (hypothesis): every codec must be
+the identity under decode(encode(x)) for arbitrary inputs — the
+reference's round-trip fixture strategy generalized (SURVEY.md §5.1)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from engine.rle1 import (decode_bool, decode_byte_rle, decode_rlev1,
+                         encode_bool, encode_byte_rle, encode_rlev1)
+from engine.rle2 import decode_rlev2, encode_rlev2
+from engine.varint import decode_varints, encode_varints
+
+i64 = st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1)
+u64 = st.integers(min_value=0, max_value=2 ** 64 - 1)
+
+# mixed generator: runs, ramps, and raw values — exercises every
+# RLEv2 sub-encoding path
+segment = st.one_of(
+    st.tuples(i64, st.integers(1, 40)).map(
+        lambda t: [t[0]] * t[1]),                      # run
+    st.tuples(st.integers(-(2 ** 40), 2 ** 40),
+              st.integers(-300, 300), st.integers(2, 40)).map(
+        lambda t: list(range(0, t[2]))).map(
+        lambda xs: xs),                                # ramp
+    st.lists(st.integers(-(2 ** 50), 2 ** 50), min_size=1, max_size=30),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(segment, min_size=0, max_size=12))
+def test_rlev2_roundtrip_property(segs):
+    v = np.array([x for s in segs for x in s], dtype=np.int64)
+    enc, sizes = encode_rlev2(v, with_sizes=True)
+    assert np.array_equal(decode_rlev2(enc, v.size), v)
+    assert np.array_equal(decode_rlev2(enc, v.size, sizes=sizes), v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(i64, min_size=0, max_size=400))
+def test_rlev2_raw_int64_property(xs):
+    v = np.array(xs, dtype=np.int64)
+    for signed in (True, False):
+        enc = encode_rlev2(v, signed=signed)
+        assert np.array_equal(decode_rlev2(enc, v.size, signed=signed), v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(i64, min_size=0, max_size=300))
+def test_rlev1_roundtrip_property(xs):
+    v = np.array(xs, dtype=np.int64)
+    enc = encode_rlev1(v)
+    assert np.array_equal(decode_rlev1(enc, v.size), v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_byte_rle_roundtrip_property(bs):
+    v = np.frombuffer(bs, dtype=np.uint8)
+    enc = encode_byte_rle(v)
+    assert np.array_equal(decode_byte_rle(enc, v.size), v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.booleans(), min_size=0, max_size=2000))
+def test_bool_roundtrip_property(bits):
+    v = np.array(bits, dtype=bool)
+    enc = encode_bool(v)
+    assert np.array_equal(decode_bool(enc, v.size), v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(u64, min_size=0, max_size=200))
+def test_varint_roundtrip_property(xs):
+    v = np.array(xs, dtype=np.uint64)
+    enc = encode_varints(v)
+    dec, consumed = decode_varints(enc, v.size)
+    assert consumed == enc.size
+    assert np.array_equal(dec, v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=60), min_size=0,
+                max_size=60))
+def test_fsst_roundtrip_property(strs):
+    from engine.fsst import build_table, decode_fsst, encode_fsst
+    data = np.frombuffer(b"".join(strs), dtype=np.uint8)
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    table = build_table(data, lens)
+    codes, clens = encode_fsst(data, lens, table)
+    ddata, dlens = decode_fsst(codes, clens, table)
+    assert np.array_equal(dlens, lens)
+    assert ddata.tobytes() == data.tobytes()
