@@ -76,9 +76,9 @@ def decode_timestamp(data, secondary, n: int) -> np.ndarray:
 # --- T2: decimal64 — RLEv2 unscaled values + declared (precision, scale) --
 
 def encode_decimal64(unscaled) -> np.ndarray:
-    """Decimal64 fast path (precision <= 18,
-    javap deco: orc-core Decimal64TreeWriter): one RLEv2 signed stream
-    of unscaled longs; scale lives in the type, not the stream."""
+    """Decimal64 fast path (precision <= 18, orc-core
+    Decimal64TreeWriter): one RLEv2 signed stream of unscaled longs;
+    the scale lives in the declared type, not the stream."""
     return rle2.encode_rlev2(np.asarray(unscaled, dtype=np.int64),
                              signed=True)
 

@@ -100,6 +100,8 @@ def encode_table(spark: SparkSession, df: DataFrame, out_path: str,
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
+    import os
+    fresh = not os.path.isdir(table_io.data_dir(out_path))
     done = table_io.committed_parts(out_path) if resume else {}
     skip = set(done)
     if attempt is None:
@@ -124,8 +126,10 @@ def encode_table(spark: SparkSession, df: DataFrame, out_path: str,
     blocks.write.mode("append").parquet(ddir)
 
     # gather per-part lineage from what was just written and commit;
-    # read deduplicated (a crashed run may have left superseded blocks)
-    written = read_blocks(spark, out_path)
+    # read deduplicated (a crashed run may have left superseded blocks);
+    # a dir we just created cannot hold superseded blocks -> plain scan
+    written = spark.read.parquet(ddir) if fresh \
+        else read_blocks(spark, out_path)
     agg = (written
            .where(~F.col("part_id").isin(list(skip)) if skip else F.lit(True))
            .groupBy("part_id")
