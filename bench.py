@@ -157,35 +157,41 @@ def main():
         "decode_identical": r["identical"],
         "cores": cores,
         "codec": os.environ.get("SPARK_GRAFT_CODEC", "zlib"),
-        # the two-cluster-size study (N=1 vs 4N=4 cores, steady state,
-        # same 1M-row input, rounds=2) as measured for BENCH.md; rerun
-        # live with BENCH_SCALING=1 (~10 min)
-        "scaling_measured": {"cores_small": 1, "cores_big": 4,
-                             "mtok_s_small": 1.61, "mtok_s_big": 5.55,
-                             "efficiency": 0.861,
-                             "protocol": "BENCH.md"},
+    }
+
+    # two-cluster-size criterion (BASELINE.json: efficiency >= 0.8 from
+    # N to 4N), sandbox protocol: the SAME job on the SAME input at two
+    # parallelism levels, measured LIVE in this run. The pair is N=1 vs
+    # 4N=4 because >4-8 concurrently-allocating workers saturate this
+    # single host's serialized ~1ms page-fault path (a one-box artifact:
+    # real 4N-node clusters add a memory subsystem per node; BENCH.md
+    # reports the full 1/2/4/8/32 curve with the analysis). A quarter of
+    # the headline rows keeps the 1-core leg's wall time bounded.
+    srows = max(min(rows, 50_000), rows // 4)
+    big = min(cores, 4)
+    small = max(1, big // 4)
+    rb = run_pipeline(big, srows, verify=False, rounds=2)
+    rs = run_pipeline(small, srows, verify=False, rounds=2)
+    thr_big = rb["n_values"] / (rb["encode_s"] + rb["decode_s"])
+    thr_small = rs["n_values"] / (rs["encode_s"] + rs["decode_s"])
+    result["scaling"] = {
+        "cores_small": small, "cores_big": big, "rows": srows,
+        "mtok_s_small": round(thr_small / 1e6, 2),
+        "mtok_s_big": round(thr_big / 1e6, 2),
+        "efficiency": round((thr_big / thr_small) / (big / small), 3),
+        "protocol": "same job, same input, live-measured this run "
+                    "(steady state, rounds=2)",
     }
 
     if os.environ.get("BENCH_SCALING"):
-        # two-cluster-size criterion, sandbox protocol: the same job at
-        # N and 4N cores, steady state (2 rounds, last measured)
-        # >4-8 concurrent heavy workers saturate this single host's
-        # serialized page-fault path (a one-box artifact: real 4N-node
-        # clusters add a memory subsystem per node), so the cluster-size
-        # pair is N=1 vs 4N=4 unless fewer cores are given; BENCH.md
-        # reports the full 1/2/4/8/32 curve with the analysis
-        big = min(cores, 4)
-        small = max(1, big // 4)
-        rb = run_pipeline(big, rows, verify=False, rounds=2)
-        rs = run_pipeline(small, rows, verify=False, rounds=2)
-        thr_big = rb["n_values"] / (rb["encode_s"] + rb["decode_s"])
-        thr_small = rs["n_values"] / (rs["encode_s"] + rs["decode_s"])
-        result["scaling"] = {
-            "cores_small": small, "cores_big": big,
-            "mtok_s_small": round(thr_small / 1e6, 2),
-            "mtok_s_big": round(thr_big / 1e6, 2),
-            "efficiency": round((thr_big / thr_small) / (big / small), 3),
-        }
+        # full parallelism curve at the headline row count (for
+        # BENCH.md's single-box analysis), measured live
+        curve = {}
+        for c in (1, 2, 4, 8, min(32, cores)):
+            rc = run_pipeline(c, rows, verify=False, rounds=2)
+            curve[str(c)] = round(
+                rc["n_values"] / (rc["encode_s"] + rc["decode_s"]) / 1e6, 2)
+        result["scaling_curve_mtok_s"] = curve
 
     print(json.dumps(result))
 

@@ -79,7 +79,7 @@ STRIDE_TYPE = pa.struct([
 ])
 
 LINEAGE_TYPE = pa.struct([
-    ("input_part", pa.int32()),
+    ("input_part", pa.int64()),
     ("row_start", pa.int64()),
     ("n_rows", pa.int64()),
     ("attempt", pa.int32()),
@@ -90,7 +90,9 @@ LINEAGE_TYPE = pa.struct([
 
 BLOCKS_SCHEMA = pa.schema([
     ("block_id", pa.string()),
-    ("part_id", pa.int32()),
+    # int64: streaming packs (epoch << 16) | partition into part_id, and
+    # a long-running stream's epoch exceeds int32 range at epoch 32768
+    ("part_id", pa.int64()),
     ("row_start", pa.int64()),
     ("n_rows", pa.int64()),
     ("n_values", pa.int64()),
@@ -106,7 +108,7 @@ BLOCKS_SCHEMA = pa.schema([
 
 # Spark DDL equivalent of BLOCKS_SCHEMA for mapInArrow
 BLOCKS_DDL = (
-    "block_id string, part_id int, row_start bigint, n_rows bigint, "
+    "block_id string, part_id bigint, row_start bigint, n_rows bigint, "
     "n_values bigint, "
     "ntok struct<kind:string, data:binary, present:binary, n_nulls:bigint, "
     "vmin:bigint, vmax:bigint, vsum:bigint>, "
@@ -120,7 +122,7 @@ BLOCKS_DDL = (
     "tok_min:bigint, tok_max:bigint>>, "
     "bloom_doc_id binary, "
     "codec string, "
-    "lineage struct<input_part:int, row_start:bigint, n_rows:bigint, "
+    "lineage struct<input_part:bigint, row_start:bigint, n_rows:bigint, "
     "attempt:int, wall_ms:double, in_bytes:bigint, out_bytes:bigint>"
 )
 
@@ -348,13 +350,21 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
     src_col = _encode_str_column(source, fsst_cache=fsst_cache,
                                  cache_key="source")
 
-    # stride metadata (M2): per STRIDE_ROWS rows
+    # stride metadata (M2): per STRIDE_ROWS rows. Row ranges map to
+    # value ranges via a per-ROW length vector (null rows contribute 0
+    # values); indexing cumsum0(lens) by absolute row number would read
+    # the wrong span whenever the block has null token rows.
     strides = []
-    vo = cumsum0(lens)
+    if tok_nulls:
+        valid_rows = ~np.asarray(tokens.is_null())
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[valid_rows] = lens
+        row_vo = cumsum0(full_lens)
+    else:
+        row_vo = cumsum0(lens)
     for r0 in range(0, n, STRIDE_ROWS):
         r1 = min(n, r0 + STRIDE_ROWS)
-        sv = vals[vo[min(r0, len(lens))]: vo[min(r1, len(lens))]] \
-            if len(lens) else vals[:0]
+        sv = vals[row_vo[r0]: row_vo[r1]]
         strides.append({
             "row0": int(row_start + r0), "n_rows": int(r1 - r0),
             "n_values": int(sv.size),

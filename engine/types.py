@@ -45,10 +45,23 @@ def decode_date(buf, n: int) -> np.ndarray:
 #     SECONDARY nanos with trailing-zero count packed in low 3 bits -------
 
 def encode_timestamp(epoch_nanos) -> tuple[np.ndarray, np.ndarray]:
-    """int64 UTC nanos-since-1970 -> (DATA, SECONDARY) streams."""
+    """int64 UTC nanos-since-1970 -> (DATA, SECONDARY) streams.
+
+    Pre-1970 convention (ORC C++, verified against pyarrow-written
+    stream bytes): seconds truncate TOWARD ZERO and the sub-second
+    part is a SIGNED nano count in (-1e9, 1e9) carried two's-complement
+    through the nominally-unsigned SECONDARY stream — e.g. -2.5s is
+    (secs=-2, nanos=-5e8 -> (-5<<3)|7 = -33). This is lossless for
+    every instant (no ambiguous second). Note the known ORC Java/C++
+    divergence here (ORC-611): Java stores positive nanos with a
+    reader-side ``secs -= 1`` fix-up and mis-reads C++ pre-1970
+    sub-second values; we follow C++, our only testable reference
+    writer.
+    """
     t = np.asarray(epoch_nanos, dtype=np.int64)
-    secs = np.floor_divide(t, 1_000_000_000)
-    nanos = t - secs * 1_000_000_000
+    # trunc toward zero (C++ integer division), not floor
+    secs = np.sign(t) * (np.abs(t) // 1_000_000_000)
+    nanos = t - secs * 1_000_000_000  # same sign as t
     data = rle2.encode_rlev2(secs - BASE_TIMESTAMP_EPOCH, signed=True)
     # strip 2..8 trailing decimal zeros; the low 3 bits store
     # (count - 1), so code 0 unambiguously means "nothing stripped"
@@ -59,6 +72,8 @@ def encode_timestamp(epoch_nanos) -> tuple[np.ndarray, np.ndarray]:
         can = (zeros < 8) & (stripped % 10 == 0) & (stripped != 0)
         stripped = np.where(can, stripped // 10, stripped)
         zeros += can
+    # (stripped << 3) | code on negative stripped reproduces C++'s
+    # two's-complement arithmetic exactly
     enc = np.where(zeros >= 2, (stripped << 3) | (zeros - 1), nanos << 3)
     secondary = rle2.encode_rlev2(enc, signed=False)
     return data, secondary
@@ -67,8 +82,8 @@ def encode_timestamp(epoch_nanos) -> tuple[np.ndarray, np.ndarray]:
 def decode_timestamp(data, secondary, n: int) -> np.ndarray:
     secs = rle2.decode_rlev2(data, n, signed=True) + BASE_TIMESTAMP_EPOCH
     enc = rle2.decode_rlev2(secondary, n, signed=False)
-    zeros = (enc & 7).astype(np.int64)
-    vals = (enc >> 3).astype(np.int64)
+    zeros = (enc & 7).astype(np.int64)          # two's-complement & : 0..7
+    vals = (enc >> 3).astype(np.int64)          # arithmetic shift: signed
     nanos = vals * np.power(10, np.where(zeros > 0, zeros + 1, 0))
     return secs * 1_000_000_000 + nanos
 

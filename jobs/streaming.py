@@ -6,7 +6,8 @@ this is engine-side capability (like pipeline/): a file-source
 ``readStream`` feeding the SAME deterministic encode pipeline through
 ``foreachBatch`` — each micro-batch appends blocks with
 ``part_id = (stream epoch << 16) | shuffle partition`` so block ids
-stay unique and lineage records the epoch. Exactly-once at the block
+stay unique and lineage records the epoch (part_id is int64 in
+BLOCKS_SCHEMA, so epochs far beyond 2^31 are safe). Exactly-once at the block
 level comes from the Spark checkpoint (epoch replays overwrite the
 same deterministic block ids and the reader deduplicates by
 (part_id, block_id, attempt) — jobs/encode.read_blocks).

@@ -22,12 +22,27 @@ import time
 import uuid
 
 
+def _require_local(path: str) -> str:
+    """This manifest backend walks the table path with ``os`` — correct
+    only for driver-visible POSIX paths. On hdfs://, s3://, etc.,
+    ``os.path.isdir`` is silently False, which would make resume /
+    dedup probes no-op and corrupt commit stats; fail loudly instead
+    (an Iceberg catalog or Hadoop-FS-backed manifest is the swap-in)."""
+    scheme, sep, rest = path.partition("://")
+    if sep and scheme != "file":
+        raise ValueError(
+            f"table_io requires a driver-local path, got {path!r}; back "
+            "the manifest with the Hadoop FS API or an Iceberg catalog "
+            "for remote filesystems")
+    return rest if sep else path
+
+
 def _manifest_dir(path: str) -> str:
-    return os.path.join(path, "_manifest")
+    return os.path.join(_require_local(path), "_manifest")
 
 
 def data_dir(path: str) -> str:
-    return os.path.join(path, "data")
+    return os.path.join(_require_local(path), "data")
 
 
 def committed_parts(path: str) -> dict[int, dict]:

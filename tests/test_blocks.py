@@ -84,6 +84,35 @@ def test_strides():
     assert max(x["tok_max"] for x in s) == flat.max()
 
 
+def test_strides_with_null_token_rows():
+    # Null token rows contribute 0 values; per-stride n_values and
+    # extrema must be computed over the VALUE span of each row range,
+    # not by indexing the non-null length vector with absolute rows.
+    n = 25_000
+    rng = np.random.default_rng(5)
+    null_mask = rng.random(n) < 0.3
+    toks = [None if null_mask[i] else
+            list(rng.integers(0, 50_000, rng.integers(1, 8)))
+            for i in range(n)]
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n)]),
+        "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([None if t is None else len(t) for t in toks],
+                          type=pa.int32()),
+        "source": pa.array(["s"] * n)})
+    row = encode_block(tbl.combine_chunks().to_batches()[0])
+    s = row["strides"]
+    assert sum(x["n_values"] for x in s) == row["n_values"]
+    # per-stride extrema must match a direct recompute over that span
+    for k, st in enumerate(s):
+        r0, r1 = k * 10_000, min(n, (k + 1) * 10_000)
+        vals = [v for t in toks[r0:r1] if t is not None for v in t]
+        assert st["n_values"] == len(vals)
+        assert st["tok_min"] == min(vals)
+        assert st["tok_max"] == max(vals)
+    roundtrip(tbl)
+
+
 def test_compression_wins():
     tbl = token_table(20_000)
     row = encode_block(tbl.combine_chunks().to_batches()[0])

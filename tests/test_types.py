@@ -73,6 +73,34 @@ def test_timestamp_roundtrip():
     assert np.array_equal(dec, t)
 
 
+def test_timestamp_pre1970_roundtrip():
+    # pre-1970 (ORC C++ convention: trunc-toward-zero secs + signed
+    # nanos): round-trip is exact for every instant, including the
+    # (-1, 0) second that the Java convention garbles.
+    secs = RNG.integers(-3_000_000_000, 0, 1200)
+    nanos = np.concatenate([
+        RNG.integers(0, 10 ** 9, 400),
+        RNG.integers(0, 10 ** 6, 400) * 1000,
+        np.zeros(400, dtype=np.int64)])
+    t = secs * 1_000_000_000 + nanos
+    t = np.append(t, [-1, -999_999_999, -500_000_000, 0, 1])
+    data, sec = T.encode_timestamp(t)
+    assert np.array_equal(T.decode_timestamp(data, sec, t.size), t)
+
+
+def test_timestamp_pre1970_cross_impl():
+    # ORC C++ must decode to the same instants we encoded: write the
+    # values via pyarrow ORC and check our decoder agrees (both sides
+    # of the negative-seconds adjustment exercised).
+    secs = np.arange(-5000, -2, 7, dtype=np.int64)
+    nanos = (np.arange(secs.size, dtype=np.int64) * 123_456_789) % 10 ** 9
+    t = secs * 1_000_000_000 + nanos
+    s = _orc_stripe(t.view("datetime64[ns]"), pa.timestamp("ns"))
+    dec = T.decode_timestamp(s["streams"][(1, "DATA")],
+                             s["streams"][(1, "SECONDARY")], t.size)
+    assert np.array_equal(dec, t)
+
+
 def test_timestamp_cross_impl():
     # pyarrow writes timestamp[ns] ORC columns with the same layout
     t = np.array([1_500_000_000_000_000_000 + i * 1_000_003
