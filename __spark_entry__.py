@@ -244,6 +244,206 @@ def _q_char_varchar(spark, sf_dir):
                          "event_id bigint, char8 string, varchar5 string")
 
 
+def _q_date_roundtrip(spark, sf_dir):
+    """T4 date codec: derived days-since-1970 (negatives included)
+    through the RLEv2-signed date stream."""
+    import numpy as np
+    import pyarrow as pa
+    from engine.types import decode_date, encode_date
+
+    def kernel(batches):
+        for b in batches:
+            v = b.column("days").to_numpy().astype(np.int64)
+            dec = decode_date(encode_date(v), len(v))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), pa.array(dec, type=pa.int64())],
+                names=["doc_id", "days"])
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("n_chars").cast("long") - 20000).alias("days"))
+    return docs.mapInArrow(kernel, "doc_id string, days bigint")
+
+
+def _q_decimal64_roundtrip(spark, sf_dir):
+    """T2 decimal64 fast path: derived unscaled longs through the
+    RLEv2-signed decimal stream (scale lives in the declared type)."""
+    import numpy as np
+    import pyarrow as pa
+    from engine.types import decode_decimal64, encode_decimal64
+
+    def kernel(batches):
+        for b in batches:
+            v = b.column("unscaled").to_numpy().astype(np.int64)
+            dec = decode_decimal64(encode_decimal64(v), len(v))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), pa.array(dec, type=pa.int64())],
+                names=["doc_id", "unscaled"])
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("n_chars").cast("long") * 1000003 - 77777)
+        .alias("unscaled"))
+    return docs.mapInArrow(kernel, "doc_id string, unscaled bigint")
+
+
+def _q_decimal128_roundtrip(spark, sf_dir):
+    """T2 decimal128: ~2^90 mantissas through the unbounded zigzag
+    varint stream + RLEv2 scale (engine/decimal128.py); values
+    returned as decimal strings both engines format identically."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        from engine import decimal128 as D
+        for b in batches:
+            nc = b.column("n_chars").to_numpy().astype(np.int64)
+            base = nc.astype(object) * 31 + 7
+            sign = np.where(nc % 2 == 0, -1, 1).astype(object)
+            vals = [int(s * v ** 4 * 99991)
+                    for s, v in zip(sign, base)]
+            lo, hi = D.limbs_from_ints(vals)
+            enc = D.encode_decimal128(
+                lo, hi, scales=np.full(len(vals), 4, dtype=np.int64))
+            lo2, hi2, sc = D.decode_decimal128(enc, len(vals))
+            out = [str(v) for v in D.ints_from_limbs(lo2, hi2)]
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), pa.array(out, type=pa.string()),
+                 pa.array(sc.astype(np.int32))],
+                names=["doc_id", "mantissa", "scale"])
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars")
+    return docs.mapInArrow(
+        kernel, "doc_id string, mantissa string, scale int")
+
+
+def _q_binary_roundtrip(spark, sf_dir):
+    """T5 binary: UTF-8 bytes of a text prefix through the
+    DATA + LENGTH(RLEv2) stream pair."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        from engine.strings import arrow_bytes_lengths, strings_from_bytes
+        from engine.types import decode_binary, encode_binary
+        for b in batches:
+            arr = b.column("payload")
+            data, lens = arrow_bytes_lengths(arr)
+            enc = encode_binary(data, lens)
+            ddata, dlens = decode_binary(enc, len(arr))
+            out = strings_from_bytes(
+                np.asarray(ddata, dtype=np.uint8), dlens)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), out.cast(pa.string())],
+                names=["doc_id", "payload"])
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode(F.expr("substr(text, 1, 50)"), "UTF-8").alias("payload"))
+    return docs.mapInArrow(kernel, "doc_id string, payload string")
+
+
+def _q_bloom_check(spark, sf_dir):
+    """M3 bloom filters: every block's own doc_ids must test positive
+    against the block's serialized bloom (no false negatives), checked
+    through the real serialize/deserialize/test path."""
+    import numpy as np
+    import pyarrow as pa
+    from engine.blocks import BLOCKS_DDL, encode_batches
+
+    def enc(batches):
+        yield from encode_batches(batches, part_id=0, block_rows=1024)
+
+    def probe(batches):
+        from engine.blocks import decode_block
+        from engine.bloom import BloomFilter
+        from engine.strings import arrow_bytes_lengths
+        for batch in batches:
+            for row in batch.to_pylist():
+                dec = decode_block(row)
+                ids = dec.column("doc_id")
+                data, lens = arrow_bytes_lengths(ids.cast("large_string"))
+                bf = BloomFilter.deserialize(row["bloom_doc_id"])
+                hits = int(bf.test_strings(data, lens).sum())
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([len(ids)], type=pa.int64()),
+                     pa.array([hits], type=pa.int64())],
+                    names=["n", "hits"])
+
+    blocks = _token_df(spark, sf_dir).mapInArrow(enc, BLOCKS_DDL)
+    per_block = blocks.mapInArrow(probe, "n bigint, hits bigint")
+    return per_block.agg(F.sum("n").alias("n_docs"),
+                         F.sum("hits").alias("n_hits"))
+
+
+def _q_wrapped_roundtrip(spark, sf_dir):
+    """C1 compression chunk wrapper: the flagship round-trip with every
+    stream zlib-framed (3-byte ORC chunk headers) — decode must still
+    be bit-identical."""
+    from engine.blocks import BLOCKS_DDL, TOKEN_DDL, decode_batches, \
+        encode_batches
+
+    def enc(batches):
+        yield from encode_batches(batches, part_id=0, block_rows=8192,
+                                  codec="zlib")
+
+    tok = _token_df(spark, sf_dir)
+    dec = (tok.mapInArrow(enc, BLOCKS_DDL)
+              .mapInArrow(decode_batches, TOKEN_DDL))
+    return dec.select(
+        "doc_id", "n_tok",
+        F.aggregate("tokens", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("tok_sum"))
+
+
+def _q_union_roundtrip(spark, sf_dir):
+    """T8 union: tag byte-RLE stream + per-branch child streams
+    (int branch via RLEv2, string branch via DATA+LENGTH), split and
+    scattered back by tag (engine/union.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        from engine import rle2, union
+        from engine.strings import arrow_bytes_lengths, strings_from_bytes
+        from engine.types import decode_binary, encode_binary
+        for b in batches:
+            tags = b.column("tag").to_numpy().astype(np.uint8)
+            n = len(tags)
+            iv = b.column("iv").to_numpy().astype(np.int64)
+            sv = b.column("sv")
+            # encode: TAG stream + branch children holding only their rows
+            tstream = union.encode_tags(tags)
+            b0 = rle2.encode_rlev2(iv[tags == 0], signed=True)
+            sdata, slens = arrow_bytes_lengths(
+                sv.filter(pa.array(tags == 1)).cast("large_string"))
+            b1 = encode_binary(sdata, slens)
+            # decode: tags -> branch decode -> scatter
+            dtags = union.decode_tags(tstream, n)
+            n0 = int((dtags == 0).sum())
+            v0 = rle2.decode_rlev2(b0, n0, signed=True)
+            ddata, dlens = decode_binary(b1, n - n0)
+            s1 = strings_from_bytes(
+                np.asarray(ddata, dtype=np.uint8), dlens)
+            out = np.empty(n, dtype=object)
+            out[dtags == 0] = [str(x) for x in v0.tolist()]
+            out[dtags == 1] = s1.to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"),
+                 pa.array(dtags.astype(np.int32)),
+                 pa.array(out.tolist(), type=pa.string())],
+                names=["doc_id", "tag", "value"])
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.pmod("n_chars", F.lit(2)).cast("int").alias("tag"),
+        (F.col("n_chars").cast("long") * 3 + 1).alias("iv"),
+        F.col("source").alias("sv"))
+    return docs.mapInArrow(kernel,
+                           "doc_id string, tag int, value string")
+
+
 def _q_block_stats(spark, sf_dir):
     """Footer-style metadata only — no decode: global stats read from
     block columns (M1 column statistics)."""
@@ -308,9 +508,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "float_roundtrip": _q_float_roundtrip,            # T1
         "timestamp_roundtrip": _q_timestamp_roundtrip,    # T3
         "char_varchar_roundtrip": _q_char_varchar,        # S5
+        "date_roundtrip": _q_date_roundtrip,              # T4
+        "decimal64_roundtrip": _q_decimal64_roundtrip,    # T2 (fast path)
+        "decimal128_roundtrip": _q_decimal128_roundtrip,  # T2 (big-int)
+        "binary_roundtrip": _q_binary_roundtrip,          # T5
+        "union_roundtrip": _q_union_roundtrip,            # T8
+        # compression wrapper
+        "wrapped_roundtrip": _q_wrapped_roundtrip,        # C1
         # metadata operators
         "block_stats": _q_block_stats,                    # M1, M4
         "stride_stats": _q_stride_stats,                  # M2
+        "bloom_check": _q_bloom_check,                    # M3
         # relational sanity over decoded output
         "source_stats": _q_source_stats,
         # training-data pipeline operators (pipeline/: dedup,
@@ -372,6 +580,39 @@ def oracle_sql() -> dict[str, str]:
         "char_varchar_roundtrip":
             "SELECT event_id, rpad(substr(event_type, 1, 8), 8, ' ') "
             "AS char8, substr(event_type, 1, 5) AS varchar5 FROM events",
+        "date_roundtrip":
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(n_chars - 20000 AS BIGINT) AS days FROM documents",
+        "decimal64_roundtrip":
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(n_chars AS BIGINT) * 1000003 - 77777 AS unscaled "
+            "FROM documents",
+        "decimal128_roundtrip": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(CAST(CASE WHEN n_chars % 2 = 0 THEN -1 ELSE 1 END
+                             AS HUGEINT) * b * b * b * b * 99991
+                        AS VARCHAR) AS mantissa,
+                   CAST(4 AS INTEGER) AS scale
+            FROM (SELECT doc_id, n_chars,
+                         CAST(n_chars * 31 + 7 AS HUGEINT) AS b
+                  FROM documents)""",
+        "binary_roundtrip":
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "substr(text, 1, 50) AS payload FROM documents",
+        "union_roundtrip":
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(n_chars % 2 AS INTEGER) AS tag, "
+            "CASE WHEN n_chars % 2 = 0 "
+            "THEN CAST(CAST(n_chars AS BIGINT) * 3 + 1 AS VARCHAR) "
+            "ELSE source END AS value FROM documents",
+        "wrapped_roundtrip": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok,
+                   CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
+            FROM documents""",
+        "bloom_check":
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_hits FROM documents",
         "block_stats": f"""
             SELECT CAST(SUM(n_tok) AS BIGINT) AS n_values,
                    CAST(MIN(tok_min) AS BIGINT) AS tok_min,

@@ -2,38 +2,52 @@
 SimHash, embedding-cosine) — Spark-native.
 
 Scale notes (10^12 rows):
-- exact: one hash-shuffle on the content key; map-side combine.
-- MinHash+LSH: signatures are pure column expressions (64 xxhash64
-  permutations, JVM codegen); banding explodes b rows/doc and buckets
-  by band hash — the only shuffle is the bucket groupBy; candidate
-  pairs are verified with exact Jaccard, so precision is 1.0 and LSH
-  only affects recall. Skewed buckets (boilerplate shingles) are
-  capped by MAX_BUCKET.
-- SimHash: 64-bit signature via word-hash bit voting; near-dup =
-  Hamming distance <= k via xor+popcount on the signatures of
-  LSH-candidate pairs (or banded by signature chunks).
+- exact: the shuffle key is a 192-bit content hash (xxhash64 + md5 of
+  the text), ~24 bytes/row instead of whole documents; collision
+  probability over 10^12 docs is < 1e-33, far below hardware error
+  rates. One hash-shuffle, map-side combine.
+- MinHash+LSH: signatures are pure column expressions; banding
+  explodes b rows/doc and buckets by band hash — the only shuffle is
+  the bucket groupBy; candidate pairs are verified with exact Jaccard,
+  so precision is 1.0 and LSH only affects recall. Skewed buckets
+  (boilerplate shingles) are capped by MAX_BUCKET.
+- SimHash: signature via word-hash bit voting; banded by the four
+  16-bit signature chunks with the SAME MAX_BUCKET cap (an unbounded
+  chunk self-join has only 65,536 distinct values per band — quadratic
+  blowup on boilerplate without the cap); xor+bit_count Hamming verify.
 - embedding cosine: brute-force pair search is O(n^2) — kept for
-  oracle checks at tiny scale; the scale path buckets by random
+  oracle checks at tiny scale; the scale path buckets by deterministic
   hyperplane signs first (pipeline/similarity.py).
+
+Hash families: the default ``xxhash64`` family is fastest (one JVM
+codegen'd hash per permutation). The ``md5`` family derives every hash
+from md5 hex strings using only expressions DuckDB evaluates
+identically (md5 / substr / instr / lexicographic min), so the ENTIRE
+LSH pipeline — signatures, banding, bucket caps, candidate pairs —
+can be reproduced by an ANSI-SQL oracle bit-for-bit. Same algorithm,
+same shuffle structure; only the hash primitive differs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # 16 bands x 4 rows
 MAX_BUCKET = 64  # ignore degenerate buckets (boilerplate shingles)
-_MERSENNE = (1 << 61) - 1
+SIMHASH_BITS = 64
 
 
 def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
     """Exact content dedup: keep the smallest doc_id per distinct key.
 
-    One shuffle on the content key; at 100 TB hash the key first
-    (xxhash64) so the shuffle carries 8 bytes not documents.
+    Groups by a 192-bit hash of the key (xxhash64 + md5) so the
+    shuffle carries ~24 bytes per row, not the document text; the
+    combined hash stands in for the key with collision probability
+    ~n^2 / 2^192.
     """
-    return (docs.groupBy(key)
+    return (docs.groupBy(F.xxhash64(key).alias("_h64"),
+                         F.md5(F.col(key)).alias("_h128"))
             .agg(F.min("doc_id").alias("keep_id"),
                  F.count("*").alias("n_copies"))
             .select("keep_id", "n_copies"))
@@ -48,20 +62,51 @@ def word_shingles(col, n: int = 3):
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
 
 
-def minhash_signature(shingles, perms: int = MINHASH_PERMS):
+def minhash_signature(shingles, perms: int = MINHASH_PERMS,
+                      family: str = "xxhash64"):
     """MinHash signature: per permutation j, min over shingles of the
-    j-seeded xxhash64 (ANSI-safe — no overflow-prone arithmetic).
-    Pure column expressions, JVM codegen."""
+    j-seeded hash. ``xxhash64``: long hashes (fastest, ANSI-safe).
+    ``md5``: lexicographic min of md5 hex strings — portable across
+    engines (DuckDB-oracle-able). Pure column expressions either way."""
     sig = []
     for j in range(perms):
-        sig.append(F.array_min(F.transform(
-            shingles, lambda s, j=j: F.xxhash64(s, F.lit(j)))))
+        if family == "md5":
+            h = lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))
+        else:
+            h = lambda s, j=j: F.xxhash64(s, F.lit(j))
+        sig.append(F.array_min(F.transform(shingles, h)))
     return F.array(*sig)
+
+
+def _band_bucket(sig, b: int, rows: int, family: str):
+    """Bucket key of band b: hash of the band's signature slice."""
+    sl = F.slice(sig, b * rows + 1, rows)
+    if family == "md5":
+        return F.md5(F.array_join(sl, ","))
+    return F.xxhash64(sl, F.lit(b))
+
+
+def _capped_bucket_pairs(banded: DataFrame, payload: list[str],
+                         max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(band, bucket, payload...) -> distinct candidate pairs from
+    buckets of size in [2, max_bucket]. One shuffle (the groupBy)."""
+    buckets = (banded
+               .groupBy("band", "bucket")
+               .agg(F.collect_list(F.struct(*payload)).alias("ds"))
+               .where((F.size("ds") > 1) & (F.size("ds") <= max_bucket)))
+    return (buckets.select(F.explode(F.expr(
+        "filter(transform(flatten(transform(ds, a -> transform(ds, "
+        "b -> struct(a, b)))), p -> p), "
+        "p -> p.a.doc_id < p.b.doc_id)")).alias("p"))
+        .select(*[F.col(f"p.a.{c}").alias(f"{c}_a") for c in payload],
+                *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in payload])
+        .dropDuplicates(["doc_id_a", "doc_id_b"]))
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       threshold: float = 0.5, shingle_n: int = 3,
-                      bands: int = LSH_BANDS) -> DataFrame:
+                      bands: int = LSH_BANDS,
+                      family: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs by MinHash banding + exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and
@@ -72,33 +117,26 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             .withColumn("_sh", F.array_distinct(
                 word_shingles(F.col(text_col), shingle_n)))
             .where(F.size("_sh") > 0)
-            .withColumn("_sig", minhash_signature(F.col("_sh"))))
+            .withColumn("_sig", minhash_signature(F.col("_sh"),
+                                                  family=family)))
+    # banding built per compile-time band index (the md5 family's
+    # bucket hash needs the band constant inside a string expression)
+    parts = []
+    for b in range(bands):
+        parts.append(F.struct(
+            F.lit(b).alias("band"),
+            _band_bucket(F.col("_sig"), b, rows, family).alias("bucket")))
     banded = base.select(
-        "doc_id", "_sh",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(F.slice("_sig", b * rows + 1, rows),
-                           b).alias("bucket")))).alias("bb"))
-    buckets = (banded
-               .groupBy("bb.band", "bb.bucket")
-               .agg(F.collect_list(F.struct("doc_id", "_sh")).alias("ds"))
-               .where((F.size("ds") > 1) & (F.size("ds") <= MAX_BUCKET)))
-    pairs = (buckets.select(F.explode(F.expr(
-        "filter(transform(flatten(transform(ds, a -> transform(ds, "
-        "b -> struct(a, b)))), p -> p), "
-        "p -> p.a.doc_id < p.b.doc_id)")).alias("p"))
-        .select(F.col("p.a.doc_id").alias("id_a"),
-                F.col("p.b.doc_id").alias("id_b"),
-                F.col("p.a._sh").alias("sh_a"),
-                F.col("p.b._sh").alias("sh_b"))
-        .dropDuplicates(["id_a", "id_b"]))
-    jac = (F.size(F.array_intersect("sh_a", "sh_b"))
-           / F.size(F.array_union("sh_a", "sh_b")))
+        "doc_id", "_sh", F.explode(F.array(*parts)).alias("bb")) \
+        .select("doc_id", "_sh", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    pairs = _capped_bucket_pairs(banded, ["doc_id", "_sh"])
+    jac = (F.size(F.array_intersect("_sh_a", "_sh_b"))
+           / F.size(F.array_union("_sh_a", "_sh_b")))
     return (pairs.withColumn("jaccard", jac)
             .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+            .select(F.col("doc_id_a").alias("id_a"),
+                    F.col("doc_id_b").alias("id_b"), "jaccard"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -122,7 +160,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     return pairs.where(F.col("jaccard") >= threshold)
 
 
-def simhash(col, bits: int = 64):
+def simhash(col, bits: int = SIMHASH_BITS):
     """64-bit SimHash of the whitespace words of a text column: each
     word votes its hash bits +-1; signature bit = sign of the sum.
     The per-bit expressions are built with Python loops (bit index is
@@ -147,33 +185,68 @@ def simhash(col, bits: int = 64):
     return sig
 
 
+def simhash_bitstring(col, bits: int = SIMHASH_BITS) -> Column:
+    """Portable SimHash: signature as a ``bits``-char '0'/'1' string.
+    Word-hash bit i = bit (i % 4) of hex digit (i // 4) of md5(word) —
+    md5 / substr / instr only, so DuckDB reproduces it exactly."""
+    words = F.split(F.trim(col), "\\s+")
+
+    def word_bits(w):
+        out = []
+        for i in range(bits):
+            digit = (F.instr(F.lit("0123456789abcdef"),
+                             F.substring(F.md5(w), 1 + i // 4, 1))
+                     .cast("int") - 1)
+            out.append((F.shiftright(digit, i % 4).bitwiseAND(F.lit(1)))
+                       * 2 - 1)
+        return F.array(*out)
+
+    votes = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0).cast("int"), bits),
+        lambda acc, w: F.zip_with(acc, word_bits(w), lambda x, y: x + y))
+    return F.concat(*[
+        F.when(F.element_at(votes, i + 1) > 0, F.lit("1"))
+        .otherwise(F.lit("0")) for i in range(bits)])
+
+
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance (banded by the four
-    16-bit chunks: a pair within distance 3 shares at least one chunk)."""
-    t = docs.select("doc_id", simhash(F.col(text_col)).alias("sig"))
-    chunks = t.select(
+                       max_hamming: int = 3,
+                       family: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded by the four
+    16-bit signature chunks (a pair within distance 3 shares at least
+    one chunk). Buckets larger than MAX_BUCKET are dropped — a chunk
+    has only 65,536 distinct values, so boilerplate-heavy corpora
+    otherwise blow up quadratically in the chunk self-join."""
+    if family == "md5":
+        t = docs.select("doc_id",
+                        simhash_bitstring(F.col(text_col)).alias("sig"))
+        chunk = [F.substring("sig", 1 + i * 16, 16) for i in range(4)]
+        ham = F.aggregate(
+            F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+            F.lit(0).cast("int"),
+            lambda a, i: a + F.when(
+                F.col("sig_a").substr(i, F.lit(1))
+                == F.col("sig_b").substr(i, F.lit(1)),
+                F.lit(0)).otherwise(F.lit(1)))
+    else:
+        t = docs.select("doc_id", simhash(F.col(text_col)).alias("sig"))
+        chunk = [F.shiftrightunsigned("sig", i * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).cast("string")
+                 for i in range(4)]
+        ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    banded = t.select(
         "doc_id", "sig",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned("sig", i * 16)
-                .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-            for i in range(4)])).alias("c"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    pairs = (a.join(b, (F.col("a.c.band") == F.col("b.c.band"))
-                    & (F.col("a.c.chunk") == F.col("b.c.chunk"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("id_a"),
-                     F.col("b.doc_id").alias("id_b"),
-                     F.col("a.sig").alias("sig_a"),
-                     F.col("b.sig").alias("sig_b"))
-             .dropDuplicates(["id_a", "id_b"]))
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            F.struct(F.lit(i).alias("band"), chunk[i].alias("bucket"))
+            for i in range(4)])).alias("c")) \
+        .select("doc_id", "sig", F.col("c.band").alias("band"),
+                F.col("c.bucket").alias("bucket"))
+    pairs = _capped_bucket_pairs(banded, ["doc_id", "sig"])
     return (pairs.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .select(F.col("doc_id_a").alias("id_a"),
+                    F.col("doc_id_b").alias("id_b"), "hamming"))
 
 
 def embedding_near_pairs(emb: DataFrame, threshold: float = 0.95

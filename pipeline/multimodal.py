@@ -87,20 +87,30 @@ def frame_sample(blobs: DataFrame, every: int = 4) -> DataFrame:
 def decode_stub_features(blobs: DataFrame) -> DataFrame:
     """The mapInPandas featurizer shape: Arrow-batched, partition-
     preserving. The per-blob 'decode' is a deterministic fake (sum of
-    bytes) standing in for a pixel decode; swap the body for PIL when
-    available (require_codecs)."""
+    bytes) standing in for a pixel decode; swap the numpy body for PIL
+    when available (require_codecs).
+
+    Vectorized: the batch's blobs are concatenated into ONE uint8
+    buffer and per-row sums come from a cumulative-sum gather — no
+    per-row Python arithmetic (the pattern a real featurizer should
+    follow: decode into a single arena, reduce with numpy)."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         for pdf in it:
-            blobs_np = pdf["blob"]
-            checksum = blobs_np.map(
-                lambda b: int(np.frombuffer(b, dtype=np.uint8)
-                              .sum()) if len(b) else 0)
+            vals = pdf["blob"].to_numpy()
+            n = len(vals)
+            lens = np.fromiter((len(b) for b in vals), dtype=np.int64,
+                               count=n)
+            buf = np.frombuffer(b"".join(vals), dtype=np.uint8)
+            cum = np.concatenate(
+                ([0], np.cumsum(buf, dtype=np.int64)))
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            sums = cum[offs[1:]] - cum[offs[:-1]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "n_bytes": blobs_np.map(len),
-                "byte_sum": checksum,
+                "n_bytes": lens,
+                "byte_sum": sums,
             })
 
     return blobs.mapInPandas(kernel,

@@ -41,15 +41,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
+    # md5 hash family: the identical signature/banding/bucket-cap
+    # pipeline is recomputed by the DuckDB oracle (same algorithm as
+    # the default xxhash64 family, portable hash primitive)
     from pipeline.dedup import minhash_lsh_pairs
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, threshold=0.3)
+    return minhash_lsh_pairs(docs, threshold=0.3, family="md5")
 
 
 def q_dedup_simhash(spark, sf_dir):
     from pipeline.dedup import simhash_near_pairs
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_pairs(docs, max_hamming=10)
+    return simhash_near_pairs(docs, max_hamming=10, family="md5")
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -74,12 +77,14 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
+    # integer-quantized deterministic hyperplanes: bucket assignment is
+    # exact int64 arithmetic, so DuckDB reproduces it bit-for-bit (and
+    # no driver-side dim probe — the bucketer reads the array length)
     from pipeline.similarity import lsh_bucketed_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()["embedding"])
     emb = emb.withColumn(
         "embedding", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-    return (lsh_bucketed_pairs(emb, dim, threshold=0.2, planes=6)
+    return (lsh_bucketed_pairs(emb, threshold=0.2, planes=6)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos_r")))
 
 
@@ -154,7 +159,108 @@ _SQL_LANG_SCORES = ", ".join(
     f" / greatest(len({_SQL_WORDS}), 1) AS score_{lang}"
     for lang, lst in _LANG_LISTS.items())
 
+# portable-hash LSH oracles: recompute the ENTIRE pipeline (md5-based
+# signatures, banding, bucket-size caps, candidate pairs, exact verify)
+# in DuckDB. Every primitive (md5/substr/strpos/lexicographic list_min)
+# evaluates identically in Spark and DuckDB, so these are full
+# value-hash oracles, not rows-only checks.
+
+_SQL_MINHASH = f"""
+    WITH t AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    s AS (SELECT doc_id, sh,
+            list_transform(range(0, 64), j ->
+              list_min(list_transform(sh,
+                x -> md5(concat(CAST(j AS VARCHAR), '|', x))))) AS sig
+          FROM t WHERE len(sh) > 0),
+    bands AS (
+      SELECT s.doc_id, s.sh, r.b AS band,
+             md5(array_to_string(sig[(r.b*4+1):(r.b*4+4)], ',')) AS bucket
+      FROM s CROSS JOIN range(0, 16) r(b)),
+    sized AS (
+      SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+      FROM bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM sized a JOIN sized b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id AND a.bsz BETWEEN 2 AND 64)
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
+    FROM cand
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+            / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.3"""
+
+_SQL_SIMHASH = r"""
+    WITH w AS (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS words
+               FROM documents),
+    v AS (SELECT doc_id,
+            list_transform(range(0, 64), i ->
+              list_sum(list_transform(words, wd ->
+                2 * (((strpos('0123456789abcdef',
+                              substr(md5(wd), 1 + i // 4, 1)) - 1)
+                      // (1 << (i % 4))) % 2) - 1))) AS votes
+          FROM w),
+    s AS (SELECT doc_id,
+            array_to_string(list_transform(votes,
+              x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS sig
+          FROM v),
+    bands AS (SELECT doc_id, sig, r.b AS band,
+                     substr(sig, 1 + r.b * 16, 16) AS bucket
+              FROM s CROSS JOIN range(0, 4) r(b)),
+    sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+              FROM bands),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sig AS sig_a, b.sig AS sig_b
+             FROM sized a JOIN sized b USING (band, bucket)
+             WHERE a.doc_id < b.doc_id AND a.bsz BETWEEN 2 AND 64)
+    SELECT id_a, id_b,
+           CAST(list_sum(list_transform(range(1, 65), i ->
+             CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
+                  THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE CAST(list_sum(list_transform(range(1, 65), i ->
+            CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
+                 THEN 0 ELSE 1 END)) AS INTEGER) <= 10"""
+
+_SQL_ANN_LSH = """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    b AS (SELECT vec_id, emb,
+            array_to_string(list_transform(range(0, 6), p ->
+              CASE WHEN list_sum(list_transform(range(0, len(emb)), d ->
+                CAST(floor(emb[d+1] * 1000000) AS BIGINT)
+                * (((p * 1009 + d) * 2654435761) % 1000003 - 501001)))
+                >= 0 THEN '1' ELSE '0' END), '') AS bucket
+          FROM q),
+    sized AS (SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz
+              FROM b),
+    cand AS (SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+                    a.emb AS ea, bb.emb AS eb
+             FROM sized a JOIN sized bb USING (bucket)
+             WHERE a.vec_id < bb.vec_id AND a.bsz BETWEEN 2 AND 1024)
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(ea, eb), 6) AS cos_r
+    FROM cand WHERE list_cosine_similarity(ea, eb) >= 0.2"""
+
+_SQL_MM_STUB = """
+    WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                      hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST(COALESCE(list_sum(list_transform(range(0, n), i ->
+             (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1))),
+             0) AS BIGINT) AS byte_sum
+    FROM t"""
+
 ORACLES = {
+    "dedup_minhash_lsh": _SQL_MINHASH,
+    "dedup_simhash": _SQL_SIMHASH,
+    "ann_lsh_bucketed": _SQL_ANN_LSH,
+    "mm_decode_stub": _SQL_MM_STUB,
     "dedup_exact": """
         SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY text""",

@@ -53,34 +53,51 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10
             .select("query_id", "vec_id", "cos", "rank"))
 
 
-def _hyperplane(dim: int, j: int):
-    """Deterministic pseudo-random hyperplane as a column expression:
-    component i = centered hash of (i, j)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: (F.pmod(F.xxhash64(i * F.lit(1000003) + F.lit(j),
-                                     F.lit(_SEED)), F.lit(2001)) - 1000)
-        .cast("double"))
+MAX_BUCKET = 1024  # cap bucket self-join size (clustered embeddings)
 
 
-def hyperplane_bucket(vec, dim: int, planes: int = HYPERPLANES):
-    """LSH bucket id: sign bit per random hyperplane, packed to a long."""
-    bits = [F.when(dot(vec, _hyperplane(dim, j)) >= 0,
-                   F.shiftleft(F.lit(1).cast("long"), j))
-            .otherwise(F.lit(0).cast("long")) for j in range(planes)]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+def hyperplane_bucket(vec, planes: int = HYPERPLANES):
+    """LSH bucket id: one sign bit per deterministic pseudo-random
+    hyperplane, as a '01...' string.
+
+    All-integer arithmetic so every engine computes the identical
+    bucket (DuckDB-oracle-able, no float-summation-order hazard):
+    components are quantized with floor(x * 1e6) and the plane weights
+    are a centered Weyl-style integer hash of (plane, dim); the dot
+    product is an exact int64 sum (|dot| <= dim * 1e6 * 5e5 << 2^63).
+    The vector length is read from the array itself — no dim argument,
+    no driver-side probing."""
+    q = F.transform(vec, lambda x: F.floor(x * F.lit(1000000.0))
+                    .cast("long"))
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            lambda p: F.when(
+                F.aggregate(
+                    F.transform(
+                        q, lambda x, d: x * (((p * F.lit(1009) + d)
+                                              * F.lit(2654435761))
+                                             % F.lit(1000003)
+                                             - F.lit(501001))),
+                    F.lit(0).cast("long"), lambda a, x: a + x) >= 0,
+                F.lit("1")).otherwise(F.lit("0"))), "")
 
 
-def lsh_bucketed_pairs(emb: DataFrame, dim: int, threshold: float = 0.95,
-                       planes: int = HYPERPLANES) -> DataFrame:
+def lsh_bucketed_pairs(emb: DataFrame, dim: int | None = None,
+                       threshold: float = 0.95,
+                       planes: int = HYPERPLANES,
+                       max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Near-duplicate vector pairs via hyperplane bucketing + exact
     cosine verify inside each bucket (the scale path for
-    dedup.embedding_near_pairs)."""
+    dedup.embedding_near_pairs). Buckets larger than ``max_bucket``
+    are dropped before the self-join so clustered embeddings cannot go
+    quadratic. ``dim`` is accepted for API compatibility but unused —
+    the bucketer reads the vector length from the array."""
     t = emb.withColumn("bucket",
-                       hyperplane_bucket(F.col("embedding"), dim, planes))
+                       hyperplane_bucket(F.col("embedding"), planes))
+    sizes = t.groupBy("bucket").agg(F.count("*").alias("_bsz"))
+    t = (t.join(F.broadcast(sizes.where(
+        (F.col("_bsz") > 1) & (F.col("_bsz") <= max_bucket))), "bucket"))
     a = t.alias("a")
     b = t.alias("b")
     return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))

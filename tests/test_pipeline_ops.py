@@ -38,6 +38,31 @@ def test_minhash_lsh_recall_and_precision(spark, docs):
     assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
 
 
+def test_minhash_md5_family_matches_semantics(spark, docs):
+    # the portable (DuckDB-oracle-able) md5 hash family must give the
+    # same precision/recall guarantees as the fast xxhash64 family
+    from pipeline.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    exact = pairs(ngram_jaccard_pairs(docs, threshold=0.3))
+    lsh = pairs(minhash_lsh_pairs(docs, threshold=0.3, family="md5"))
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
+
+
+def test_bucket_cap_bounds_boilerplate(spark):
+    # 300 identical docs: every banding bucket would hold all 300
+    # (quadratic pair blowup at scale) — the MAX_BUCKET cap must drop
+    # those buckets instead of exploding
+    from pipeline.dedup import MAX_BUCKET, simhash_near_pairs, \
+        minhash_lsh_pairs
+    n = 300
+    assert n > MAX_BUCKET
+    boiler = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated forever and ever")
+         for i in range(n)], "doc_id int, text string")
+    assert simhash_near_pairs(boiler, max_hamming=3).count() == 0
+    assert minhash_lsh_pairs(boiler, threshold=0.3).count() == 0
+
+
 def test_simhash_finds_exact_duplicates(spark, docs):
     from pipeline.dedup import simhash_near_pairs
     # identical texts must have identical signatures (hamming 0);
