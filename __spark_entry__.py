@@ -444,6 +444,32 @@ def _q_union_roundtrip(spark, sf_dir):
                            "doc_id string, tag int, value string")
 
 
+def _q_stride_seek(spark, sf_dir):
+    """M2 completion — intra-block stride seek: multi-stride blocks
+    (30k rows, 3 strides) sorted by n_tok; only strides whose
+    [ntok_min, ntok_max] intersects the predicate are decoded, seeking
+    into the token stream via chunk directories (decode_block_rows),
+    then the exact filter applies. Correct decode of a partial row
+    range IS the oracle-checked property."""
+    from engine.blocks import BLOCKS_DDL, TOKEN_DDL, encode_batches
+    from jobs.decode import stride_pruned_kernel
+
+    LO, HI = 80, 95
+
+    def enc(batches):
+        yield from encode_batches(batches, part_id=0, block_rows=30000,
+                                  block_values=50_000_000)
+
+    tok = _token_df(spark, sf_dir).orderBy("n_tok", "doc_id")
+    blocks = tok.mapInArrow(enc, BLOCKS_DDL)
+    dec = blocks.mapInArrow(
+        stride_pruned_kernel(ntok_min=LO, ntok_max=HI), TOKEN_DDL)
+    return (dec.where(F.col("n_tok").between(LO, HI))
+            .select("doc_id", "n_tok",
+                    F.aggregate("tokens", F.lit(0).cast("long"),
+                                lambda a, x: a + x).alias("tok_sum")))
+
+
 def _q_block_stats(spark, sf_dir):
     """Footer-style metadata only — no decode: global stats read from
     block columns (M1 column statistics)."""
@@ -518,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # metadata operators
         "block_stats": _q_block_stats,                    # M1, M4
         "stride_stats": _q_stride_stats,                  # M2
+        "stride_seek": _q_stride_seek,                    # M2 positions
         "bloom_check": _q_bloom_check,                    # M3
         # relational sanity over decoded output
         "source_stats": _q_source_stats,
@@ -613,6 +640,13 @@ def oracle_sql() -> dict[str, str]:
         "bloom_check":
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(COUNT(*) AS BIGINT) AS n_hits FROM documents",
+        "stride_seek": f"""
+            SELECT doc_id, n_tok, tok_sum FROM (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     {_SQL_NTOK} AS n_tok,
+                     CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
+              FROM documents)
+            WHERE n_tok BETWEEN 80 AND 95""",
         "block_stats": f"""
             SELECT CAST(SUM(n_tok) AS BIGINT) AS n_values,
                    CAST(MIN(tok_min) AS BIGINT) AS tok_min,

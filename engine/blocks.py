@@ -74,8 +74,12 @@ STRIDE_TYPE = pa.struct([
     ("row0", pa.int64()),
     ("n_rows", pa.int64()),
     ("n_values", pa.int64()),
+    ("val0", pa.int64()),       # token-value offset at stride start —
+                                # the RowIndexEntry.positions analog
     ("tok_min", pa.int64()),
     ("tok_max", pa.int64()),
+    ("ntok_min", pa.int64()),
+    ("ntok_max", pa.int64()),
 ])
 
 LINEAGE_TYPE = pa.struct([
@@ -119,7 +123,8 @@ BLOCKS_DDL = (
     "source struct<kind:string, data:binary, length:binary, dict:binary, "
     "dict_size:int, present:binary, n_nulls:bigint>, "
     "strides array<struct<row0:bigint, n_rows:bigint, n_values:bigint, "
-    "tok_min:bigint, tok_max:bigint>>, "
+    "val0:bigint, tok_min:bigint, tok_max:bigint, ntok_min:bigint, "
+    "ntok_max:bigint>>, "
     "bloom_doc_id binary, "
     "codec string, "
     "lineage struct<input_part:bigint, row_start:bigint, n_rows:bigint, "
@@ -311,19 +316,24 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
         ntok_col["data"] = _EMPTY
 
     # encode LENGTH + child DATA with chunk directories: the encoder
-    # knows per-chunk byte sizes for free, and the directory lets
-    # decode skip the sequential RLEv2 header walk (60% of decode time
-    # measured). Directories are themselves RLEv2-unsigned streams.
-    lstream, lsizes = rle2.encode_rlev2(lens, signed=True,
-                                        with_sizes=True)
-    vstream, vsizes = rle2.encode_rlev2(vals, signed=True,
-                                        with_sizes=True)
+    # knows per-chunk byte sizes AND value counts for free; the
+    # directory lets decode skip the sequential RLEv2 header walk (60%
+    # of decode time measured) and lets stride-level decode fetch only
+    # the chunks covering a value range (the RowIndexEntry.positions
+    # capability). A directory is one RLEv2-unsigned stream holding
+    # [sizes..., counts...] (counts are runs of 512 — ~free).
+    lstream, lsizes, lcounts = rle2.encode_rlev2(lens, signed=True,
+                                                 with_sizes=True)
+    vstream, vsizes, vcounts = rle2.encode_rlev2(vals, signed=True,
+                                                 with_sizes=True)
     if dirs:
         # directories are tiny and repetitive -> always zlib-framed
         ldir = compress.compress_stream(
-            rle2.encode_rlev2(lsizes, signed=False), "zlib")
+            rle2.encode_rlev2(np.concatenate([lsizes, lcounts]),
+                              signed=False), "zlib")
         vdir = compress.compress_stream(
-            rle2.encode_rlev2(vsizes, signed=False), "zlib")
+            rle2.encode_rlev2(np.concatenate([vsizes, vcounts]),
+                              signed=False), "zlib")
     else:
         # size-optimal mode: no directory, decode walks headers
         lsizes = vsizes = np.zeros(0, dtype=np.int64)
@@ -353,7 +363,9 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
     # stride metadata (M2): per STRIDE_ROWS rows. Row ranges map to
     # value ranges via a per-ROW length vector (null rows contribute 0
     # values); indexing cumsum0(lens) by absolute row number would read
-    # the wrong span whenever the block has null token rows.
+    # the wrong span whenever the block has null token rows. val0 +
+    # the chunk directories above give decode_block_rows intra-block
+    # seek (RowIndexEntry.positions, orc_proto_descriptor.txt:354).
     strides = []
     if tok_nulls:
         valid_rows = ~np.asarray(tokens.is_null())
@@ -362,14 +374,25 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
         row_vo = cumsum0(full_lens)
     else:
         row_vo = cumsum0(lens)
+    if nt_nulls:
+        valid_nt = ~np.asarray(n_tok.is_null())
+        nt_cum = cumsum0(valid_nt.astype(np.int64))
+    else:
+        nt_cum = None
     for r0 in range(0, n, STRIDE_ROWS):
         r1 = min(n, r0 + STRIDE_ROWS)
         sv = vals[row_vo[r0]: row_vo[r1]]
+        if nt_cum is None:
+            snt = nt_vals[r0:r1]
+        else:
+            snt = nt_vals[nt_cum[r0]: nt_cum[r1]]
         strides.append({
             "row0": int(row_start + r0), "n_rows": int(r1 - r0),
-            "n_values": int(sv.size),
+            "n_values": int(sv.size), "val0": int(row_vo[r0]),
             "tok_min": int(sv.min()) if sv.size else 0,
-            "tok_max": int(sv.max()) if sv.size else 0})
+            "tok_max": int(sv.max()) if sv.size else 0,
+            "ntok_min": int(snt.min()) if snt.size else 0,
+            "ntok_max": int(snt.max()) if snt.size else 0})
 
     if codec != "none":
         for c in (ntok_col, tokens_col, doc_col, src_col):
@@ -452,14 +475,14 @@ def decode_block(row: dict) -> pa.RecordBatch:
     vstream = np.frombuffer(raw[p:], np.uint8)
     tok_nulls = int(tok["n_nulls"])
     lsizes = rle2.decode_rlev2(
-        compress.decompress_stream(ldir, "zlib"), nlchunks,
-        signed=False) if ldlen else None
+        compress.decompress_stream(ldir, "zlib"), 2 * nlchunks,
+        signed=False)[:nlchunks] if ldlen else None
     lens = rle2.decode_rlev2(lstream, n - tok_nulls, signed=True,
                              sizes=lsizes)
     nvals = int(lens.sum())
     vsizes = rle2.decode_rlev2(
-        compress.decompress_stream(vdir, "zlib"), nvchunks,
-        signed=False) if vdlen else None
+        compress.decompress_stream(vdir, "zlib"), 2 * nvchunks,
+        signed=False)[:nvchunks] if vdlen else None
     vals = rle2.decode_rlev2(vstream, nvals, signed=True, sizes=vsizes)
 
     offsets = cumsum0(lens).astype(np.int32)
@@ -498,6 +521,157 @@ def decode_block(row: dict) -> pa.RecordBatch:
         [doc_arr.cast(pa.string()), tokens_arr, ntok_arr,
          src_arr.cast(pa.string())],
         schema=TOKEN_SCHEMA)
+
+
+def _empty_token_batch() -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [pa.array([], type=f.type) for f in TOKEN_SCHEMA],
+        schema=TOKEN_SCHEMA)
+
+
+def decode_block_rows(row: dict, r0: int, r1: int
+                      ) -> tuple[pa.RecordBatch, int]:
+    """Decode ONLY rows [r0, r1) of a block (block-relative indices).
+
+    Intra-block seek (the RowIndexEntry.positions capability,
+    orc_proto_descriptor.txt:354): the token DATA stream — ~97% of a
+    block's bytes — is fetched and decoded only for the RLEv2 chunks
+    covering the requested value range, located via the chunk
+    directory; under a C1 codec only the compression frames covering
+    those chunks are inflated (compress.FrameReader). Small streams
+    (LENGTH, PRESENT, strings) decode fully and are row-sliced.
+
+    Returns ``(record_batch, token_stream_bytes_touched)`` — the
+    second element is the evidence that decoded bytes scale with
+    strides touched. Blocks written with ``dirs=False`` have no
+    directory and fall back to a full decode + slice.
+    """
+    n = int(row["n_rows"])
+    r0, r1 = max(0, int(r0)), min(n, int(r1))
+    if r1 <= r0:
+        return _empty_token_batch(), 0
+    codec = row.get("codec") or "none"
+    tok = row["tokens"]
+    reader = compress.FrameReader(tok["data"], codec) \
+        if codec != "none" else compress.RawReader(tok["data"])
+    fetch = reader.fetch
+    pos = 0
+
+    def u32() -> int:
+        nonlocal pos
+        v = int(np.frombuffer(fetch(pos, pos + 4), np.uint32)[0])
+        pos += 4
+        return v
+
+    llen = u32()
+    lstream = np.frombuffer(fetch(pos, pos + llen), np.uint8)
+    pos += llen
+    nl = u32()
+    ldlen = u32()
+    ldir = fetch(pos, pos + ldlen)
+    pos += ldlen
+    nv = u32()
+    vdlen = u32()
+    vdir = fetch(pos, pos + vdlen)
+    pos += vdlen
+    vbase = pos
+    if ldlen == 0 or vdlen == 0:  # dirs=False mode: no seek positions
+        full = decode_block(row)
+        return full.slice(r0, r1 - r0), len(tok["data"])
+
+    tok_nulls = int(tok["n_nulls"])
+    work_ntok, work_doc, work_src = \
+        row["ntok"], row["doc_id"], row["source"]
+    tok_present = tok["present"]
+    if codec != "none":
+        work_ntok = _unwrap_codec(work_ntok, codec)
+        work_doc = _unwrap_codec(work_doc, codec)
+        work_src = _unwrap_codec(work_src, codec)
+        if isinstance(tok_present, bytes) and tok_present:
+            tok_present = compress.decompress_stream(tok_present, codec)
+
+    ldirvals = rle2.decode_rlev2(
+        compress.decompress_stream(ldir, "zlib"), 2 * nl, signed=False)
+    lsizes = ldirvals[:nl]
+    vdirvals = rle2.decode_rlev2(
+        compress.decompress_stream(vdir, "zlib"), 2 * nv, signed=False)
+    vsizes, vcounts = vdirvals[:nv], vdirvals[nv:]
+
+    lens = rle2.decode_rlev2(lstream, n - tok_nulls, signed=True,
+                             sizes=lsizes)
+    if tok_nulls:
+        valid_t = rle1.decode_bool(
+            np.frombuffer(tok_present, np.uint8), n)
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[valid_t] = lens
+    else:
+        valid_t = None
+        full_lens = lens
+    row_vo = cumsum0(full_lens)
+    v0, v1 = int(row_vo[r0]), int(row_vo[r1])
+    vals = rle2.decode_rlev2_range(
+        lambda lo, hi: fetch(vbase + lo, vbase + hi),
+        vsizes, vcounts, v0, v1, signed=True)
+
+    m = r1 - r0
+    sl_lens = full_lens[r0:r1]
+    offsets = cumsum0(sl_lens).astype(np.int32)
+    flat = pa.array(vals.astype(np.int32), type=pa.int32())
+    if valid_t is not None:
+        tokens_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat,
+            mask=pa.array(~valid_t[r0:r1]))
+    else:
+        tokens_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat)
+
+    nt = work_ntok
+    if nt["kind"].endswith("=LENGTH"):
+        ntok_arr = pa.array(sl_lens.astype(np.int32), type=pa.int32())
+    else:
+        nt_vals, nt_valid = _decode_int_column(nt, n)
+        arr = pa.array(nt_vals.astype(np.int32), type=pa.int32()) \
+            if nt_valid is None else _scatter_nulls_int(
+                nt_vals, nt_valid, np.int32)
+        ntok_arr = arr.slice(r0, m)
+
+    doc_arr, doc_valid = _decode_str_column(work_doc, n)
+    if doc_valid is not None:
+        doc_arr = _with_nulls_str(doc_arr, doc_valid)
+    src_arr, src_valid = _decode_str_column(work_src, n)
+    if src_valid is not None:
+        src_arr = _with_nulls_str(src_arr, src_valid)
+
+    batch = pa.RecordBatch.from_arrays(
+        [doc_arr.slice(r0, m).cast(pa.string()), tokens_arr, ntok_arr,
+         src_arr.slice(r0, m).cast(pa.string())],
+        schema=TOKEN_SCHEMA)
+    return batch, reader.bytes_touched
+
+
+def stride_row_spans(row: dict, ntok_min=None, ntok_max=None,
+                     tok_min=None, tok_max=None) -> list[tuple[int, int]]:
+    """Block-relative (r0, r1) spans of the strides whose metadata
+    intersects the predicates, adjacent spans merged — the stride-skip
+    planner (ORC pickRowGroups)."""
+    spans: list[tuple[int, int]] = []
+    base = int(row["row_start"])
+    for s in row["strides"]:
+        if ntok_min is not None and s["ntok_max"] < ntok_min:
+            continue
+        if ntok_max is not None and s["ntok_min"] > ntok_max:
+            continue
+        if tok_min is not None and s["tok_max"] < tok_min:
+            continue
+        if tok_max is not None and s["tok_min"] > tok_max:
+            continue
+        r0 = int(s["row0"]) - base
+        r1 = r0 + int(s["n_rows"])
+        if spans and spans[-1][1] == r0:
+            spans[-1] = (spans[-1][0], r1)
+        else:
+            spans.append((r0, r1))
+    return spans
 
 
 # cap block TOKEN count too: range partitioning clusters long sequences,

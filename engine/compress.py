@@ -59,6 +59,66 @@ def compress_stream(data, codec: str = "zlib",
     return bytes(out)
 
 
+class FrameReader:
+    """Random access into a C1-framed stream without inflating it all.
+
+    Frames cover fixed ``chunk_size`` spans of the RAW stream, so a raw
+    byte range maps to a contiguous frame range; ``fetch(lo, hi)``
+    decompresses ONLY the covering frames (cached per frame) — the
+    seek primitive that stride-level decode uses on wrapped blocks.
+    ``bytes_touched`` counts compressed bytes actually read."""
+
+    def __init__(self, buf, codec: str = "zlib",
+                 chunk_size: int = CHUNK_SIZE):
+        self.raw = buf.tobytes() if isinstance(buf, np.ndarray) \
+            else bytes(buf)
+        self.codec = codec
+        self.chunk_size = chunk_size
+        self._frames: list[tuple[int, int, bool]] = []  # (off, len, raw?)
+        pos = 0
+        n = len(self.raw)
+        while pos < n:
+            header = int.from_bytes(self.raw[pos: pos + 3], "little")
+            pos += 3
+            self._frames.append((pos, header >> 1, bool(header & 1)))
+            pos += header >> 1
+        self._cache: dict[int, bytes] = {}
+        self.bytes_touched = 0
+
+    def _frame(self, i: int) -> bytes:
+        got = self._cache.get(i)
+        if got is None:
+            off, length, is_raw = self._frames[i]
+            body = self.raw[off: off + length]
+            self.bytes_touched += length + 3
+            got = body if is_raw else CODECS[self.codec][1](body)
+            self._cache[i] = got
+        return got
+
+    def fetch(self, lo: int, hi: int) -> bytes:
+        if hi <= lo:
+            return b""
+        f0 = lo // self.chunk_size
+        f1 = (hi - 1) // self.chunk_size
+        parts = [self._frame(i) for i in range(f0, f1 + 1)]
+        blob = b"".join(parts)
+        base = f0 * self.chunk_size
+        return blob[lo - base: hi - base]
+
+
+class RawReader:
+    """Same fetch interface over an unwrapped byte stream."""
+
+    def __init__(self, buf):
+        self.raw = buf.tobytes() if isinstance(buf, np.ndarray) \
+            else bytes(buf)
+        self.bytes_touched = 0
+
+    def fetch(self, lo: int, hi: int) -> bytes:
+        self.bytes_touched += max(0, hi - lo)
+        return self.raw[lo: hi]
+
+
 def decompress_stream(buf, codec: str = "zlib") -> bytes:
     """Inverse of :func:`compress_stream`."""
     _, decomp = CODECS[codec]

@@ -379,15 +379,19 @@ def encode_rlev2(values, signed: bool = True, aligned: bool = True,
     """Encode an integer array as an ORC RLEv2 stream (uint8 array).
 
     ``with_sizes=True`` additionally returns the per-chunk byte sizes
-    (the encoder knows them for free) — a chunk directory that lets
-    :func:`decode_rlev2` skip its sequential header walk entirely on
-    our own streams (foreign ORC streams still decode via the walk).
+    AND per-chunk value counts (the encoder knows both for free) — a
+    chunk directory that lets :func:`decode_rlev2` skip its sequential
+    header walk entirely on our own streams, and lets
+    :func:`decode_rlev2_range` decode only the chunks covering a value
+    range (the seekable-positions analog of ORC's RowIndexEntry;
+    foreign ORC streams still decode via the walk).
     """
     v = np.ascontiguousarray(values, dtype=_I64)
     n = v.size
     if n == 0:
         z = np.zeros(0, dtype=np.uint8)
-        return (z, np.zeros(0, dtype=np.int64)) if with_sizes else z
+        e = np.zeros(0, dtype=np.int64)
+        return (z, e, e.copy()) if with_sizes else z
     zz = vi.zigzag_encode(v) if signed else v.view(_U64)
 
     ch = _plan(v, zz, aligned)
@@ -541,7 +545,7 @@ def encode_rlev2(values, signed: bool = True, aligned: bool = True,
         _emit_patched(out, offs[pt_idx[pat_ok]], pat_state, pat_ok)
 
     if with_sizes:
-        return out, sizes
+        return out, sizes, length.astype(np.int64)
     return out
 
 
@@ -782,3 +786,36 @@ def decode_rlev2(buf, n: int, signed: bool = True,
         out[span_positions(out_offs[pt], cnt_p)] = vals
 
     return out
+
+
+def chunk_cover(counts: np.ndarray, v0: int, v1: int
+                ) -> tuple[int, int, np.ndarray]:
+    """Chunk span [c0, c1) covering value range [v0, v1), plus the
+    cumulative value counts (cum[i] = first value index of chunk i)."""
+    cum = cumsum0(np.asarray(counts, dtype=np.int64))
+    if v1 <= v0:
+        return 0, 0, cum
+    c0 = int(np.searchsorted(cum, v0, side="right")) - 1
+    c1 = int(np.searchsorted(cum, v1 - 1, side="right"))
+    return c0, c1, cum
+
+
+def decode_rlev2_range(fetch, sizes, counts, v0: int, v1: int,
+                       signed: bool = True) -> np.ndarray:
+    """Decode values [v0, v1) of a stream using its chunk directory.
+
+    ``fetch(byte_lo, byte_hi)`` returns that raw byte window of the
+    stream (a plain slice, or a chunk-frame decompressor when the
+    stream is C1-wrapped) — only the chunks covering the range are
+    fetched and decoded, the seek/skip capability ORC gets from
+    RowIndexEntry positions (orc_proto_descriptor.txt:354).
+    """
+    sizes = np.asarray(sizes, dtype=np.int64)
+    c0, c1, cum = chunk_cover(counts, v0, v1)
+    if c1 <= c0:
+        return np.zeros(0, dtype=_I64)
+    boffs = cumsum0(sizes)
+    window = fetch(int(boffs[c0]), int(boffs[c1]))
+    vals = decode_rlev2(window, int(cum[c1] - cum[c0]), signed=signed,
+                        sizes=sizes[c0:c1])
+    return vals[v0 - int(cum[c0]): v1 - int(cum[c0])]

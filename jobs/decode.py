@@ -15,21 +15,45 @@ from engine.blocks import TOKEN_DDL, decode_batches
 from jobs.encode import read_blocks
 
 
+def stride_pruned_kernel(ntok_min=None, ntok_max=None,
+                         tok_min=None, tok_max=None):
+    """mapInArrow kernel: per block, decode ONLY the strides whose
+    metadata intersects the predicates (engine.blocks.stride_row_spans
+    plans the row spans; decode_block_rows seeks inside the token
+    stream via the chunk directories). Returned rows are a SUPERSET of
+    matching rows — apply the exact filter downstream."""
+    def kernel(batches):
+        from engine.blocks import decode_block_rows, stride_row_spans
+        for batch in batches:
+            for row in batch.to_pylist():
+                for r0, r1 in stride_row_spans(
+                        row, ntok_min=ntok_min, ntok_max=ntok_max,
+                        tok_min=tok_min, tok_max=tok_max):
+                    rb, _ = decode_block_rows(row, r0, r1)
+                    if rb.num_rows:
+                        yield rb
+    return kernel
+
+
 def decode_table(spark: SparkSession, blocks_path: str,
                  tok_min: int | None = None,
                  tok_max: int | None = None,
                  ntok_min: int | None = None,
-                 ntok_max: int | None = None) -> DataFrame:
-    """Decode the blocks table, optionally pruning by footer-style
-    block statistics BEFORE any decode work.
+                 ntok_max: int | None = None,
+                 stride_seek: bool = True) -> DataFrame:
+    """Decode the blocks table, pruning by footer-style block
+    statistics BEFORE any decode work, then by stride statistics
+    INSIDE each surviving block.
 
-    The stat columns are plain int64 parquet columns, so Catalyst
-    pushes these filters into the scan (PushedFilters on tokens.vmin /
-    tokens.vmax — parquet row-group min/max skipping applies) and
-    whole blocks are skipped without touching their binary streams —
-    the ORC RowIndex/stripe-skip capability (SURVEY.md M2/M6), Spark-
-    native. Value-range predicates keep only blocks whose [vmin, vmax]
-    intersects the requested range.
+    Block level: the stat columns are plain int64 parquet columns, so
+    Catalyst pushes these filters into the scan (PushedFilters on
+    tokens.vmin / tokens.vmax — parquet row-group min/max skipping
+    applies) and whole blocks are skipped without touching their
+    binary streams. Stride level (``stride_seek``): surviving blocks
+    decode only the ~10k-row strides whose min/max intersect the
+    predicates, seeking into the token stream via the chunk
+    directories (the ORC RowIndexEntry.positions capability). Rows
+    returned are a superset of matching rows (pruning, not filtering).
     """
     blocks = read_blocks(spark, blocks_path)
     if tok_min is not None:
@@ -40,6 +64,13 @@ def decode_table(spark: SparkSession, blocks_path: str,
         blocks = blocks.where(F.col("ntok.vmax") >= ntok_min)
     if ntok_max is not None:
         blocks = blocks.where(F.col("ntok.vmin") <= ntok_max)
+    any_pred = any(p is not None
+                   for p in (tok_min, tok_max, ntok_min, ntok_max))
+    if stride_seek and any_pred:
+        return blocks.mapInArrow(
+            stride_pruned_kernel(ntok_min=ntok_min, ntok_max=ntok_max,
+                                 tok_min=tok_min, tok_max=tok_max),
+            TOKEN_DDL)
     return blocks.mapInArrow(decode_batches, TOKEN_DDL)
 
 

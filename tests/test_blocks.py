@@ -113,6 +113,76 @@ def test_strides_with_null_token_rows():
     roundtrip(tbl)
 
 
+def _sorted_multi_stride_block(codec="none"):
+    tbl = token_table(25_000).combine_chunks()
+    idx = pa.compute.sort_indices(tbl, sort_keys=[("n_tok", "ascending")])
+    tbl = tbl.take(idx).combine_chunks()
+    return tbl, encode_block(tbl.to_batches()[0], codec=codec)
+
+
+@pytest.mark.parametrize("codec", ["none", "zlib"])
+def test_decode_block_rows_matches_full(codec):
+    from engine.blocks import decode_block_rows
+    tbl, row = _sorted_multi_stride_block(codec)
+    full = decode_block(row)
+    for a, b in [(0, 10_000), (10_000, 20_000), (20_000, 25_000),
+                 (5, 9), (9_995, 10_005), (24_999, 25_000),
+                 (0, 25_000), (7, 7)]:
+        part, _ = decode_block_rows(row, a, b)
+        assert part.equals(full.slice(a, b - a)), (codec, a, b)
+
+
+def test_stride_seek_bytes_proportional():
+    # decoded/fetched token-stream bytes must scale with strides
+    # touched, not with block size (RowIndexEntry.positions analog)
+    from engine.blocks import decode_block_rows
+    for codec in ("none", "zlib"):
+        _, row = _sorted_multi_stride_block(codec)
+        _, full_bytes = decode_block_rows(row, 0, 25_000)
+        _, one_stride = decode_block_rows(row, 0, 10_000)
+        # first stride = shortest sequences (sorted): well under half
+        assert one_stride < 0.5 * full_bytes, (codec, one_stride,
+                                               full_bytes)
+
+
+def test_stride_row_spans_planner():
+    from engine.blocks import stride_row_spans
+    _, row = _sorted_multi_stride_block()
+    # strides carry ntok min/max + val0 positions
+    s = row["strides"]
+    assert [x["row0"] for x in s] == [0, 10_000, 20_000]
+    assert [x["val0"] for x in s] == \
+        [0, s[0]["n_values"], s[0]["n_values"] + s[1]["n_values"]]
+    assert all(x["ntok_min"] <= x["ntok_max"] for x in s)
+    # sorted by n_tok -> stride ranges are disjoint-ish; a predicate
+    # above the 2nd stride's max must prune at least the first stride
+    hi_pred = s[2]["ntok_min"]
+    spans = stride_row_spans(row, ntok_min=hi_pred)
+    assert spans and spans[0][0] >= 10_000
+    # adjacent surviving strides merge into one span
+    assert stride_row_spans(row) == [(0, 25_000)]
+
+
+def test_decode_block_rows_with_nulls():
+    from engine.blocks import decode_block_rows
+    n = 25_000
+    rng = np.random.default_rng(5)
+    toks = [None if rng.random() < 0.3 else
+            list(rng.integers(0, 50_000, rng.integers(1, 8)))
+            for _ in range(n)]
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n)]),
+        "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+        "n_tok": pa.array([None if t is None else len(t) for t in toks],
+                          type=pa.int32()),
+        "source": pa.array(["s"] * n)})
+    row = encode_block(tbl.combine_chunks().to_batches()[0], codec="zlib")
+    full = decode_block(row)
+    for a, b in [(0, 10_000), (13_000, 21_000), (24_990, n)]:
+        part, _ = decode_block_rows(row, a, b)
+        assert part.equals(full.slice(a, b - a)), (a, b)
+
+
 def test_compression_wins():
     tbl = token_table(20_000)
     row = encode_block(tbl.combine_chunks().to_batches()[0])

@@ -30,9 +30,17 @@ segment = st.one_of(
 @given(st.lists(segment, min_size=0, max_size=12))
 def test_rlev2_roundtrip_property(segs):
     v = np.array([x for s in segs for x in s], dtype=np.int64)
-    enc, sizes = encode_rlev2(v, with_sizes=True)
+    enc, sizes, counts = encode_rlev2(v, with_sizes=True)
+    assert int(counts.sum()) == v.size
     assert np.array_equal(decode_rlev2(enc, v.size), v)
     assert np.array_equal(decode_rlev2(enc, v.size, sizes=sizes), v)
+    # range decode through the chunk directory
+    if v.size > 2:
+        a, b = v.size // 3, 2 * v.size // 3 + 1
+        from engine.rle2 import decode_rlev2_range
+        got = decode_rlev2_range(lambda lo, hi: enc[lo:hi], sizes,
+                                 counts, a, b)
+        assert np.array_equal(got, v[a:b])
 
 
 @settings(max_examples=100, deadline=None)
