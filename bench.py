@@ -79,7 +79,7 @@ def run_pipeline(cores: int, rows: int, verify: bool = True,
     paths + python worker arenas) — the regime a 10^12-row production
     job runs in after its first minutes; this sandbox's ~1ms serialized
     page faults otherwise dominate short runs."""
-    codec = codec or os.environ.get("SPARK_GRAFT_CODEC", "zlib")
+    codec = codec or os.environ.get("SPARK_GRAFT_CODEC", "mixed")
     inp = ensure_input(cores, rows)
     out = f"/tmp/orc_format_spark_bench/blocks-r{rows}-c{cores}-{int(time.time())}"
     spark = _session(cores, cores * 2)
@@ -156,7 +156,7 @@ def main():
         "bits_per_token": round(r["out_bytes"] * 8 / ntok, 2),
         "decode_identical": r["identical"],
         "cores": cores,
-        "codec": os.environ.get("SPARK_GRAFT_CODEC", "zlib"),
+        "codec": os.environ.get("SPARK_GRAFT_CODEC", "mixed"),
     }
 
     # two-cluster-size criterion (BASELINE.json: efficiency >= 0.8 from

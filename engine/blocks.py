@@ -261,20 +261,24 @@ def _scatter_nulls_int(vals: np.ndarray, valid: np.ndarray,
 _WRAP_KEYS = ("data", "length", "dict", "present")
 
 
-def _wrap_codec(col: dict, codec: str) -> None:
-    """Frame every non-empty binary stream of a column (C1 wrapper)."""
+def _wrap_codec(col: dict, codec: str, kind: str) -> None:
+    """Frame every non-empty binary stream of a column (C1 wrapper).
+    ``kind`` ('int' | 'str') drives the per-stream codec choice of the
+    mixed profile (compress.resolve_stream_codec)."""
     for k in _WRAP_KEYS:
         v = col.get(k)
         if isinstance(v, bytes) and v:
-            col[k] = compress.compress_stream(v, codec)
+            col[k] = compress.compress_stream(
+                v, compress.resolve_stream_codec(codec, kind, k))
 
 
-def _unwrap_codec(col: dict, codec: str) -> dict:
+def _unwrap_codec(col: dict, codec: str, kind: str) -> dict:
     out = dict(col)
     for k in _WRAP_KEYS:
         v = out.get(k)
         if isinstance(v, bytes) and v:
-            out[k] = compress.decompress_stream(v, codec)
+            out[k] = compress.decompress_stream(
+                v, compress.resolve_stream_codec(codec, kind, k))
     return out
 
 
@@ -315,18 +319,22 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
         ntok_col["kind"] = KIND_RLEV2 + "=LENGTH"
         ntok_col["data"] = _EMPTY
 
-    # encode LENGTH + child DATA with chunk directories: the encoder
-    # knows per-chunk byte sizes AND value counts for free; the
-    # directory lets decode skip the sequential RLEv2 header walk (60%
-    # of decode time measured) and lets stride-level decode fetch only
-    # the chunks covering a value range (the RowIndexEntry.positions
-    # capability). A directory is one RLEv2-unsigned stream holding
-    # [sizes..., counts...] (counts are runs of 512 — ~free).
-    lstream, lsizes, lcounts = rle2.encode_rlev2(lens, signed=True,
-                                                 with_sizes=True)
-    vstream, vsizes, vcounts = rle2.encode_rlev2(vals, signed=True,
-                                                 with_sizes=True)
+    # encode LENGTH + child DATA with GROUP directories: the encoder
+    # knows per-chunk byte sizes AND value counts for free; grouping
+    # them (~256 chunks / ~8k values per entry, rle2.group_chunks)
+    # keeps the directory at ~0.01 bits/token even on small-run data
+    # where per-chunk entries would cost ~0.5 bits/token. The directory
+    # turns decode's sequential header walk into a group-parallel
+    # vector walk AND lets stride-level decode fetch only the groups
+    # covering a value range (the RowIndexEntry.positions capability).
+    # A directory is one RLEv2-unsigned stream [gsizes..., gcounts...].
+    lstream, lcs, lcc = rle2.encode_rlev2(lens, signed=True,
+                                          with_sizes=True)
+    vstream, vcs, vcc = rle2.encode_rlev2(vals, signed=True,
+                                          with_sizes=True)
     if dirs:
+        lsizes, lcounts = rle2.group_chunks(lcs, lcc)
+        vsizes, vcounts = rle2.group_chunks(vcs, vcc)
         # directories are tiny and repetitive -> always zlib-framed
         ldir = compress.compress_stream(
             rle2.encode_rlev2(np.concatenate([lsizes, lcounts]),
@@ -395,8 +403,9 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
             "ntok_max": int(snt.max()) if snt.size else 0})
 
     if codec != "none":
-        for c in (ntok_col, tokens_col, doc_col, src_col):
-            _wrap_codec(c, codec)
+        for c, kind in ((ntok_col, "int"), (tokens_col, "int"),
+                        (doc_col, "str"), (src_col, "str")):
+            _wrap_codec(c, codec, kind)
 
     in_bytes = sum(
         buf.size for col in batch.columns for buf in col.buffers() if buf)
@@ -451,8 +460,9 @@ def decode_block(row: dict) -> pa.RecordBatch:
     codec = row.get("codec") or "none"
     if codec != "none":
         row = dict(row)
-        for c in ("ntok", "tokens", "doc_id", "source"):
-            row[c] = _unwrap_codec(row[c], codec)
+        for c, kind in (("ntok", "int"), ("tokens", "int"),
+                        ("doc_id", "str"), ("source", "str")):
+            row[c] = _unwrap_codec(row[c], codec, kind)
     tok = row["tokens"]
     raw = tok["data"]
     p = 0
@@ -474,16 +484,16 @@ def decode_block(row: dict) -> pa.RecordBatch:
     p += vdlen
     vstream = np.frombuffer(raw[p:], np.uint8)
     tok_nulls = int(tok["n_nulls"])
-    lsizes = rle2.decode_rlev2(
+    lgroups = rle2.decode_rlev2(
         compress.decompress_stream(ldir, "zlib"), 2 * nlchunks,
         signed=False)[:nlchunks] if ldlen else None
     lens = rle2.decode_rlev2(lstream, n - tok_nulls, signed=True,
-                             sizes=lsizes)
+                             groups=lgroups)
     nvals = int(lens.sum())
-    vsizes = rle2.decode_rlev2(
+    vgroups = rle2.decode_rlev2(
         compress.decompress_stream(vdir, "zlib"), 2 * nvchunks,
         signed=False)[:nvchunks] if vdlen else None
-    vals = rle2.decode_rlev2(vstream, nvals, signed=True, sizes=vsizes)
+    vals = rle2.decode_rlev2(vstream, nvals, signed=True, groups=vgroups)
 
     offsets = cumsum0(lens).astype(np.int32)
     flat = pa.array(vals.astype(np.int32), type=pa.int32())
@@ -552,7 +562,8 @@ def decode_block_rows(row: dict, r0: int, r1: int
         return _empty_token_batch(), 0
     codec = row.get("codec") or "none"
     tok = row["tokens"]
-    reader = compress.FrameReader(tok["data"], codec) \
+    reader = compress.FrameReader(
+        tok["data"], compress.resolve_stream_codec(codec, "int", "data")) \
         if codec != "none" else compress.RawReader(tok["data"])
     fetch = reader.fetch
     pos = 0
@@ -584,21 +595,23 @@ def decode_block_rows(row: dict, r0: int, r1: int
         row["ntok"], row["doc_id"], row["source"]
     tok_present = tok["present"]
     if codec != "none":
-        work_ntok = _unwrap_codec(work_ntok, codec)
-        work_doc = _unwrap_codec(work_doc, codec)
-        work_src = _unwrap_codec(work_src, codec)
+        work_ntok = _unwrap_codec(work_ntok, codec, "int")
+        work_doc = _unwrap_codec(work_doc, codec, "str")
+        work_src = _unwrap_codec(work_src, codec, "str")
         if isinstance(tok_present, bytes) and tok_present:
-            tok_present = compress.decompress_stream(tok_present, codec)
+            tok_present = compress.decompress_stream(
+                tok_present,
+                compress.resolve_stream_codec(codec, "int", "present"))
 
     ldirvals = rle2.decode_rlev2(
         compress.decompress_stream(ldir, "zlib"), 2 * nl, signed=False)
-    lsizes = ldirvals[:nl]
+    lgsizes = ldirvals[:nl]
     vdirvals = rle2.decode_rlev2(
         compress.decompress_stream(vdir, "zlib"), 2 * nv, signed=False)
-    vsizes, vcounts = vdirvals[:nv], vdirvals[nv:]
+    vgsizes, vgcounts = vdirvals[:nv], vdirvals[nv:]
 
     lens = rle2.decode_rlev2(lstream, n - tok_nulls, signed=True,
-                             sizes=lsizes)
+                             groups=lgsizes)
     if tok_nulls:
         valid_t = rle1.decode_bool(
             np.frombuffer(tok_present, np.uint8), n)
@@ -611,7 +624,7 @@ def decode_block_rows(row: dict, r0: int, r1: int
     v0, v1 = int(row_vo[r0]), int(row_vo[r1])
     vals = rle2.decode_rlev2_range(
         lambda lo, hi: fetch(vbase + lo, vbase + hi),
-        vsizes, vcounts, v0, v1, signed=True)
+        vgsizes, vgcounts, v0, v1, signed=True)
 
     m = r1 - r0
     sl_lens = full_lens[r0:r1]

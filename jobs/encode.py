@@ -90,7 +90,7 @@ def encode_table(spark: SparkSession, df: DataFrame, out_path: str,
                  num_partitions: int | None = None,
                  block_rows: int = DEFAULT_BLOCK_ROWS,
                  resume: bool = True, attempt: int | None = None,
-                 codec: str = "zlib") -> dict:
+                 codec: str = "mixed") -> dict:
     """Run the encode pipeline; returns a metrics dict.
 
     ``df`` must have the input_hint schema (doc_id, tokens, n_tok,

@@ -38,7 +38,7 @@ def _epoch_kernel(epoch: int, block_rows: int, codec: str):
 def start_streaming_encode(spark: SparkSession, input_dir: str,
                            out_path: str, checkpoint_dir: str,
                            block_rows: int = DEFAULT_BLOCK_ROWS,
-                           codec: str = "zlib",
+                           codec: str = "mixed",
                            num_partitions: int = 4,
                            trigger_once: bool = False):
     """Start the streaming encode query; returns the StreamingQuery."""

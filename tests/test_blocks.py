@@ -120,7 +120,7 @@ def _sorted_multi_stride_block(codec="none"):
     return tbl, encode_block(tbl.to_batches()[0], codec=codec)
 
 
-@pytest.mark.parametrize("codec", ["none", "zlib"])
+@pytest.mark.parametrize("codec", ["none", "zlib", "mixed"])
 def test_decode_block_rows_matches_full(codec):
     from engine.blocks import decode_block_rows
     tbl, row = _sorted_multi_stride_block(codec)
@@ -254,7 +254,7 @@ def test_codec_wrapper_roundtrip():
 
 def test_block_codec_roundtrip():
     tbl = token_table(3000)
-    for codec in ("zlib", "lzma1"):
+    for codec in ("zlib", "lzma1", "mixed"):
         batches = list(encode_batches(tbl.to_batches(), codec=codec))
         rows = [r for b in batches for r in b.to_pylist()]
         assert all(r["codec"] == codec for r in rows)
@@ -272,3 +272,27 @@ def test_no_directory_mode_roundtrip():
     sz = lambda bs: sum(r["lineage"]["out_bytes"]
                         for b in bs for r in b.to_pylist())
     assert sz(batches) < sz(b2)
+
+
+def test_mixed_profile_stream_codecs():
+    # mixed profile: string data/dict -> lzma1, everything else zlib5;
+    # resolution is a pure function so readers need no extra metadata
+    from engine.compress import HAVE_ZSTD, resolve_stream_codec
+    if HAVE_ZSTD:
+        assert resolve_stream_codec("mixed", "str", "data") == "zstd"
+    else:
+        assert resolve_stream_codec("mixed", "str", "data") == "lzma1"
+        assert resolve_stream_codec("mixed", "str", "dict") == "lzma1"
+        assert resolve_stream_codec("mixed", "str", "length") == "zlib5"
+        assert resolve_stream_codec("mixed", "int", "data") == "zlib5"
+    assert resolve_stream_codec("lzma1", "str", "data") == "lzma1"
+
+
+def test_zstd_codec_when_available():
+    from engine import compress
+    if not compress.HAVE_ZSTD:
+        pytest.skip("zstandard not installed in this environment")
+    payload = np.random.default_rng(0).integers(0, 50, 100_000) \
+        .astype(np.int64).tobytes()
+    out = compress.compress_stream(payload, "zstd")
+    assert compress.decompress_stream(out, "zstd") == payload
