@@ -130,3 +130,32 @@ def test_bloom_point_lookup(spark, token_parquet, tmp_path):
     from jobs.encode import read_blocks
     total = read_blocks(spark, out).count()
     assert total >= 8
+
+
+def test_doc_range_strategy_bit_identity_and_balance(spark, token_parquet,
+                                                     tmp_path):
+    # locality-preserving strategy: same correctness guarantees, token
+    # mass balanced by contiguous weighted slabs, deterministic resume
+    out = str(tmp_path / "blocks_dr")
+    df = spark.read.parquet(token_parquet)
+    m = encode_table(spark, df, out, num_partitions=6, block_rows=1000,
+                     strategy="doc_range")
+    assert m["n_rows"] == 4000
+    dec = decode_table(spark, out)
+    report = verify_identity(df, dec)
+    assert report["identical"], report
+    blocks = read_blocks(spark, out)
+    from pyspark.sql import functions as F
+    per_part = (blocks.groupBy("part_id")
+                .agg(F.sum("n_values").alias("nv")).collect())
+    loads = np.array([r["nv"] for r in per_part], dtype=float)
+    assert loads.max() / (loads.sum() / 6) < 3.0, loads
+    # determinism: re-encode into a fresh dir -> identical block ids
+    out2 = str(tmp_path / "blocks_dr2")
+    encode_table(spark, df, out2, num_partitions=6, block_rows=1000,
+                 strategy="doc_range")
+    ids1 = sorted(r["block_id"] for r in
+                  read_blocks(spark, out).select("block_id").collect())
+    ids2 = sorted(r["block_id"] for r in
+                  read_blocks(spark, out2).select("block_id").collect())
+    assert ids1 == ids2
