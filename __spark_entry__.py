@@ -470,6 +470,25 @@ def _q_stride_seek(spark, sf_dir):
                                 lambda a, x: a + x).alias("tok_sum")))
 
 
+def _q_orc_file_roundtrip(spark, sf_dir):
+    """M4 completion — real .orc emission: the derived token table is
+    written with the engine's ORC v1 writer (engine/orc_file.py,
+    hand-assembled protobuf tail + engine streams) and read back by
+    orc-core (Java) via spark.read.orc; matching the oracle proves the
+    emitted FILE, not just the streams, is spec-conformant."""
+    import tempfile
+    from engine.orc_file import write_orc
+
+    tbl = _token_df(spark, sf_dir).toArrow()
+    path = tempfile.mktemp(suffix=".orc")
+    write_orc(tbl, path)
+    dec = spark.read.orc(path)
+    return dec.select(
+        "doc_id", "n_tok",
+        F.aggregate("tokens", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("tok_sum"))
+
+
 def _q_block_stats(spark, sf_dir):
     """Footer-style metadata only — no decode: global stats read from
     block columns (M1 column statistics)."""
@@ -541,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_roundtrip": _q_union_roundtrip,            # T8
         # compression wrapper
         "wrapped_roundtrip": _q_wrapped_roundtrip,        # C1
+        # real ORC v1 file emission, read back by orc-core Java
+        "orc_file_roundtrip": _q_orc_file_roundtrip,      # M4
         # metadata operators
         "block_stats": _q_block_stats,                    # M1, M4
         "stride_stats": _q_stride_stats,                  # M2
@@ -633,6 +654,11 @@ def oracle_sql() -> dict[str, str]:
             "THEN CAST(CAST(n_chars AS BIGINT) * 3 + 1 AS VARCHAR) "
             "ELSE source END AS value FROM documents",
         "wrapped_roundtrip": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok,
+                   CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
+            FROM documents""",
+        "orc_file_roundtrip": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok,
                    CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
