@@ -49,6 +49,14 @@ def _session(cores: int, shuffle_parts: int):
             .config("spark.driver.extraJavaOptions",
                     "-XX:+AlwaysPreTouch -XX:+UseParallelGC")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+            # shuffle blocks land in the page cache on this box; lz4
+            # recompression of Arrow rows costs more CPU than the IO
+            # it saves
+            .config("spark.shuffle.compress", "false")
+            .config("spark.shuffle.spill.compress", "false")
+            # the blocks table is few large files; default 128m splits
+            # would cap the decode scan at ~3 tasks regardless of cores
+            .config("spark.sql.files.maxPartitionBytes", "16m")
             .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
             .config("spark.ui.enabled", "false")
             .getOrCreate())

@@ -205,7 +205,11 @@ def encode_table(spark: SparkSession, df: DataFrame, out_path: str,
         _kernel(skip, block_rows, attempt, codec), BLOCKS_DDL)
 
     ddir = table_io.data_dir(out_path)
-    blocks.write.mode("append").parquet(ddir)
+    # the block payloads are already codec-wrapped; parquet-level
+    # recompression would only burn CPU on incompressible bytes (at
+    # the sink AND at every subsequent scan)
+    blocks.write.mode("append").option("compression", "uncompressed") \
+        .parquet(ddir)
 
     # gather per-part lineage from what was just written and commit;
     # read deduplicated (a crashed run may have left superseded blocks);

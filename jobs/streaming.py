@@ -57,7 +57,8 @@ def start_streaming_encode(spark: SparkSession, input_dir: str,
         blocks = (salted.repartition(num_partitions, "pid")
                   .mapInArrow(_epoch_kernel(epoch, block_rows, codec),
                               BLOCKS_DDL))
-        blocks.write.mode("append").parquet(ddir)
+        blocks.write.mode("append") \
+            .option("compression", "uncompressed").parquet(ddir)
         table_io.commit(out_path, [{"part_id": -1, "epoch": int(epoch)}],
                         {"streaming": True})
 
