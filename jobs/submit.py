@@ -16,7 +16,7 @@ Then run against any cluster master:
     spark-submit --py-files dist/engine.zip jobs/submit.py \
         synth --output <parquet> --rows 1000000
 
-The zip contains the pure-python ``engine`` and ``jobs`` packages —
+The zip contains the ``engine``, ``jobs`` and ``pipeline`` packages —
 no data, no state; executors import kernels from it.
 """
 
@@ -35,7 +35,7 @@ def package(repo_root: str | None = None, out: str | None = None) -> str:
     out = out or os.path.join(root, "dist", "engine.zip")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
-        for pkg in ("engine", "jobs"):
+        for pkg in ("engine", "jobs", "pipeline"):
             pdir = os.path.join(root, pkg)
             for dirpath, _, files in os.walk(pdir):
                 for f in files:

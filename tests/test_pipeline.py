@@ -113,6 +113,7 @@ def test_submit_package_zip(tmp_path):
     import zipfile
     names = zipfile.ZipFile(out).namelist()
     assert "engine/rle2.py" in names and "jobs/encode.py" in names
+    assert "pipeline/dedup.py" in names and "engine/orc_file.py" in names
     assert not any(n.endswith((".pyc", ".parquet")) for n in names)
 
 
