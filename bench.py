@@ -210,20 +210,27 @@ def main():
     # because per-round fixed costs (planning jobs, parquet commit,
     # metrics agg — ~4 s) are amortized on a real long-running job but
     # dominate a 10-second leg.
+    # legs INTERLEAVE across host windows (this box's fault-path load
+    # drifts on a minutes scale; alternating the legs makes the RATIO
+    # robust to drift instead of crediting whichever leg drew the
+    # calmer window); per-leg value = best of its windows
     srows = rows
     big = min(cores, 4)
     small = max(1, big // 4)
-    rb = run_pipeline(big, srows, verify=False, rounds=2)
-    rs = run_pipeline(small, srows, verify=False, rounds=2)
-    thr_big = rb["n_values"] / (rb["encode_s"] + rb["decode_s"])
-    thr_small = rs["n_values"] / (rs["encode_s"] + rs["decode_s"])
+    best: dict[int, float] = {}
+    for _ in range(2):
+        for c in (small, big):
+            rr = run_pipeline(c, srows, verify=False, rounds=1)
+            thr = rr["n_values"] / (rr["encode_s"] + rr["decode_s"])
+            best[c] = max(best.get(c, 0.0), thr)
     result["scaling"] = {
         "cores_small": small, "cores_big": big, "rows": srows,
-        "mtok_s_small": round(thr_small / 1e6, 2),
-        "mtok_s_big": round(thr_big / 1e6, 2),
-        "efficiency": round((thr_big / thr_small) / (big / small), 3),
-        "protocol": "same job, same input, live-measured this run "
-                    "(steady state = min of 2 rounds per leg)",
+        "mtok_s_small": round(best[small] / 1e6, 2),
+        "mtok_s_big": round(best[big] / 1e6, 2),
+        "efficiency": round((best[big] / best[small]) / (big / small), 3),
+        "protocol": "same job, same input, live-measured this run; "
+                    "legs interleaved across host windows, best round "
+                    "per leg",
     }
 
     if os.environ.get("BENCH_SCALING"):
