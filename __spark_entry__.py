@@ -470,6 +470,24 @@ def _q_stride_seek(spark, sf_dir):
                                 lambda a, x: a + x).alias("tok_sum")))
 
 
+def _q_decode_projection(spark, sf_dir):
+    """Decode-side column pruning (M6): a (doc_id, n_tok) projection
+    decodes only the LENGTH/string streams — the token DATA stream
+    (~97% of block bytes) is never inflated (engine.blocks.decode_block
+    columns=...; proven stream-untouched in tests/test_blocks.py)."""
+    from engine.blocks import BLOCKS_DDL, decode_batches, encode_batches
+
+    def enc(batches):
+        yield from encode_batches(batches, part_id=0, block_rows=8192,
+                                  codec="mixed")
+
+    def dec(batches):
+        yield from decode_batches(batches, columns=["doc_id", "n_tok"])
+
+    blocks = _token_df(spark, sf_dir).mapInArrow(enc, BLOCKS_DDL)
+    return blocks.mapInArrow(dec, "doc_id string, n_tok int")
+
+
 def _q_orc_file_roundtrip(spark, sf_dir):
     """M4 completion — real .orc emission: the derived token table is
     written with the engine's ORC v1 writer (engine/orc_file.py,
@@ -562,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wrapped_roundtrip": _q_wrapped_roundtrip,        # C1
         # real ORC v1 file emission, read back by orc-core Java
         "orc_file_roundtrip": _q_orc_file_roundtrip,      # M4
+        # decode-side column pruning
+        "decode_projection": _q_decode_projection,        # M6
         # metadata operators
         "block_stats": _q_block_stats,                    # M1, M4
         "stride_stats": _q_stride_stats,                  # M2
@@ -662,6 +682,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok,
                    CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
+            FROM documents""",
+        "decode_projection": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok
             FROM documents""",
         "bloom_check":
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "

@@ -451,86 +451,133 @@ def block_rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(cols, schema=BLOCKS_SCHEMA)
 
 
-def decode_block(row: dict) -> pa.RecordBatch:
+ALL_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
+
+
+def projected_schema(columns) -> pa.Schema:
+    keep = set(columns)
+    return pa.schema([f for f in TOKEN_SCHEMA if f.name in keep])
+
+
+def projected_ddl(columns) -> str:
+    ddl = {"doc_id": "doc_id string", "tokens": "tokens array<int>",
+           "n_tok": "n_tok int", "source": "source string"}
+    return ", ".join(ddl[c] for c in ALL_COLUMNS if c in columns)
+
+
+def decode_block(row: dict, columns=None) -> pa.RecordBatch:
     """Inverse of :func:`encode_block`: block row -> original token rows.
 
     Decode is bit-identity: every token array reproduces elementwise
-    (the BASELINE.json metric)."""
+    (the BASELINE.json metric). ``columns`` projects the output: only
+    the streams a requested column needs are inflated and decoded —
+    an ``n_tok``-only projection touches the tiny LENGTH stream and
+    never the token DATA stream (~97% of block bytes), the decode-side
+    analog of scan column pruning.
+    """
+    cols = ALL_COLUMNS if columns is None else \
+        tuple(c for c in ALL_COLUMNS if c in set(columns))
     n = int(row["n_rows"])
     codec = row.get("codec") or "none"
+    tok = row["tokens"]
+    tok_nulls = int(tok["n_nulls"])
+    need_tokens = "tokens" in cols
+    nt = row["ntok"]
+    nt_is_length = nt["kind"].endswith("=LENGTH")
+    need_lens = need_tokens or ("n_tok" in cols and nt_is_length)
+
     if codec != "none":
         row = dict(row)
-        for c, kind in (("ntok", "int"), ("tokens", "int"),
-                        ("doc_id", "str"), ("source", "str")):
-            row[c] = _unwrap_codec(row[c], codec, kind)
-    tok = row["tokens"]
-    raw = tok["data"]
-    p = 0
-    llen = int(np.frombuffer(raw[p: p + 4], np.uint32)[0])
-    p += 4
-    lstream = np.frombuffer(raw[p: p + llen], np.uint8)
-    p += llen
-    nlchunks = int(np.frombuffer(raw[p: p + 4], np.uint32)[0])
-    p += 4
-    ldlen = int(np.frombuffer(raw[p: p + 4], np.uint32)[0])
-    p += 4
-    ldir = np.frombuffer(raw[p: p + ldlen], np.uint8)
-    p += ldlen
-    nvchunks = int(np.frombuffer(raw[p: p + 4], np.uint32)[0])
-    p += 4
-    vdlen = int(np.frombuffer(raw[p: p + 4], np.uint32)[0])
-    p += 4
-    vdir = np.frombuffer(raw[p: p + vdlen], np.uint8)
-    p += vdlen
-    vstream = np.frombuffer(raw[p:], np.uint8)
-    tok_nulls = int(tok["n_nulls"])
-    lgroups = rle2.decode_rlev2(
-        compress.decompress_stream(ldir, "zlib"), 2 * nlchunks,
-        signed=False)[:nlchunks] if ldlen else None
-    lens = rle2.decode_rlev2(lstream, n - tok_nulls, signed=True,
-                             groups=lgroups)
-    nvals = int(lens.sum())
-    vgroups = rle2.decode_rlev2(
-        compress.decompress_stream(vdir, "zlib"), 2 * nvchunks,
-        signed=False)[:nvchunks] if vdlen else None
-    vals = rle2.decode_rlev2(vstream, nvals, signed=True, groups=vgroups)
+        for c, kind in (("ntok", "int"), ("doc_id", "str"),
+                        ("source", "str")):
+            if (c == "ntok" and "n_tok" in cols and not nt_is_length) \
+                    or (c == "doc_id" and "doc_id" in cols) \
+                    or (c == "source" and "source" in cols):
+                row[c] = _unwrap_codec(row[c], codec, kind)
+        nt = row["ntok"]
 
-    offsets = cumsum0(lens).astype(np.int32)
-    flat = pa.array(vals.astype(np.int32), type=pa.int32())
-    if tok_nulls:
-        valid_t = rle1.decode_bool(
-            np.frombuffer(tok["present"], np.uint8), n)
-        # rebuild offsets over all rows (null rows get empty extent)
-        full_lens = np.zeros(n, dtype=np.int64)
-        full_lens[valid_t] = lens
-        offsets = cumsum0(full_lens).astype(np.int32)
-        tokens_arr = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), flat,
-            mask=pa.array(~valid_t))
-    else:
-        tokens_arr = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), flat)
+    lens = vals = valid_t = None
+    if need_lens:
+        reader = compress.FrameReader(
+            tok["data"],
+            compress.resolve_stream_codec(codec, "int", "data")) \
+            if codec != "none" else compress.RawReader(tok["data"])
+        fetch = reader.fetch
+        p = 0
 
-    nt = row["ntok"]
-    if nt["kind"].endswith("=LENGTH"):
-        ntok_arr = pa.array(lens.astype(np.int32), type=pa.int32())
-    else:
-        nt_vals, nt_valid = _decode_int_column(nt, n)
-        ntok_arr = pa.array(nt_vals.astype(np.int32), type=pa.int32()) \
-            if nt_valid is None else _scatter_nulls_int(
-                nt_vals, nt_valid, np.int32)
+        def u32() -> int:
+            nonlocal p
+            v = int(np.frombuffer(fetch(p, p + 4), np.uint32)[0])
+            p += 4
+            return v
 
-    doc_arr, doc_valid = _decode_str_column(row["doc_id"], n)
-    if doc_valid is not None:
-        doc_arr = _with_nulls_str(doc_arr, doc_valid)
-    src_arr, src_valid = _decode_str_column(row["source"], n)
-    if src_valid is not None:
-        src_arr = _with_nulls_str(src_arr, src_valid)
+        llen = u32()
+        lstream = np.frombuffer(fetch(p, p + llen), np.uint8)
+        p += llen
+        nlchunks = u32()
+        ldlen = u32()
+        ldir = fetch(p, p + ldlen)
+        p += ldlen
+        nvchunks = u32()
+        vdlen = u32()
+        vdir = fetch(p, p + vdlen)
+        p += vdlen
+        lgroups = rle2.decode_rlev2(
+            compress.decompress_stream(ldir, "zlib"), 2 * nlchunks,
+            signed=False)[:nlchunks] if ldlen else None
+        lens = rle2.decode_rlev2(lstream, n - tok_nulls, signed=True,
+                                 groups=lgroups)
+        if need_tokens:
+            nvals = int(lens.sum())
+            vstream = np.frombuffer(reader.fetch_rest(p), np.uint8)
+            vgroups = rle2.decode_rlev2(
+                compress.decompress_stream(vdir, "zlib"), 2 * nvchunks,
+                signed=False)[:nvchunks] if vdlen else None
+            vals = rle2.decode_rlev2(vstream, nvals, signed=True,
+                                     groups=vgroups)
+        if tok_nulls:
+            pres = tok["present"]
+            if codec != "none" and isinstance(pres, bytes) and pres:
+                pres = compress.decompress_stream(
+                    pres,
+                    compress.resolve_stream_codec(codec, "int",
+                                                  "present"))
+            valid_t = rle1.decode_bool(np.frombuffer(pres, np.uint8), n)
 
-    return pa.RecordBatch.from_arrays(
-        [doc_arr.cast(pa.string()), tokens_arr, ntok_arr,
-         src_arr.cast(pa.string())],
-        schema=TOKEN_SCHEMA)
+    arrays = []
+    for c in cols:
+        if c == "tokens":
+            offsets = cumsum0(lens).astype(np.int32)
+            flat = pa.array(vals.astype(np.int32), type=pa.int32())
+            if tok_nulls:
+                # rebuild offsets over all rows (null rows get empty
+                # extent)
+                full_lens = np.zeros(n, dtype=np.int64)
+                full_lens[valid_t] = lens
+                offsets = cumsum0(full_lens).astype(np.int32)
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()), flat,
+                    mask=pa.array(~valid_t)))
+            else:
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()), flat))
+        elif c == "n_tok":
+            if nt_is_length:
+                arrays.append(pa.array(lens.astype(np.int32),
+                                       type=pa.int32()))
+            else:
+                nt_vals, nt_valid = _decode_int_column(nt, n)
+                arrays.append(
+                    pa.array(nt_vals.astype(np.int32), type=pa.int32())
+                    if nt_valid is None else _scatter_nulls_int(
+                        nt_vals, nt_valid, np.int32))
+        elif c in ("doc_id", "source"):
+            arr, valid = _decode_str_column(row[c], n)
+            if valid is not None:
+                arr = _with_nulls_str(arr, valid)
+            arrays.append(arr.cast(pa.string()))
+
+    return pa.RecordBatch.from_arrays(arrays, schema=projected_schema(cols))
 
 
 def _empty_token_batch() -> pa.RecordBatch:
@@ -770,8 +817,10 @@ def encode_batches(batches, part_id: int = 0,
             yield block_rows_to_batch(rows)
 
 
-def decode_batches(batches):
-    """Decode a stream of blocks-table Arrow batches back to token rows."""
+def decode_batches(batches, columns=None):
+    """Decode a stream of blocks-table Arrow batches back to token
+    rows; ``columns`` projects the output (only the needed streams are
+    inflated/decoded, see :func:`decode_block`)."""
     for batch in batches:
         for row in batch.to_pylist():
-            yield decode_block(row)
+            yield decode_block(row, columns=columns)

@@ -136,6 +136,12 @@ class FrameReader:
         base = f0 * self.chunk_size
         return blob[lo - base: hi - base]
 
+    def fetch_rest(self, lo: int) -> bytes:
+        """Raw bytes from ``lo`` to the end of the stream."""
+        f0 = lo // self.chunk_size
+        parts = [self._frame(i) for i in range(f0, len(self._frames))]
+        return b"".join(parts)[lo - f0 * self.chunk_size:]
+
 
 class RawReader:
     """Same fetch interface over an unwrapped byte stream."""
@@ -148,6 +154,10 @@ class RawReader:
     def fetch(self, lo: int, hi: int) -> bytes:
         self.bytes_touched += max(0, hi - lo)
         return self.raw[lo: hi]
+
+    def fetch_rest(self, lo: int) -> bytes:
+        self.bytes_touched += max(0, len(self.raw) - lo)
+        return self.raw[lo:]
 
 
 def decompress_stream(buf, codec: str = "zlib") -> bytes:

@@ -40,7 +40,8 @@ def decode_table(spark: SparkSession, blocks_path: str,
                  tok_max: int | None = None,
                  ntok_min: int | None = None,
                  ntok_max: int | None = None,
-                 stride_seek: bool = True) -> DataFrame:
+                 stride_seek: bool = True,
+                 columns: list[str] | None = None) -> DataFrame:
     """Decode the blocks table, pruning by footer-style block
     statistics BEFORE any decode work, then by stride statistics
     INSIDE each surviving block.
@@ -67,10 +68,23 @@ def decode_table(spark: SparkSession, blocks_path: str,
     any_pred = any(p is not None
                    for p in (tok_min, tok_max, ntok_min, ntok_max))
     if stride_seek and any_pred:
-        return blocks.mapInArrow(
+        dec = blocks.mapInArrow(
             stride_pruned_kernel(ntok_min=ntok_min, ntok_max=ntok_max,
                                  tok_min=tok_min, tok_max=tok_max),
             TOKEN_DDL)
+        return dec.select(*columns) if columns else dec
+    if columns:
+        # decode-side column pruning: the kernel inflates/decodes only
+        # the streams the projection needs (an n_tok-only projection
+        # never touches the token DATA stream — engine.blocks
+        # decode_block) AND only the projected Arrow columns cross the
+        # Python->JVM boundary
+        from engine.blocks import projected_ddl
+
+        def kernel(batches):
+            yield from decode_batches(batches, columns=columns)
+
+        return blocks.mapInArrow(kernel, projected_ddl(columns))
     return blocks.mapInArrow(decode_batches, TOKEN_DDL)
 
 

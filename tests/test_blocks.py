@@ -296,3 +296,40 @@ def test_zstd_codec_when_available():
         .astype(np.int64).tobytes()
     out = compress.compress_stream(payload, "zstd")
     assert compress.decompress_stream(out, "zstd") == payload
+
+
+@pytest.mark.parametrize("codec", ["none", "mixed"])
+def test_decode_projection_matches_full(codec):
+    from engine.blocks import ALL_COLUMNS
+    tbl = token_table(5000)
+    row = encode_block(tbl.combine_chunks().to_batches()[0], codec=codec)
+    full = decode_block(row)
+    for cols in (["n_tok"], ["doc_id"], ["doc_id", "n_tok"],
+                 ["source"], ["tokens", "source"], list(ALL_COLUMNS)):
+        part = decode_block(row, columns=cols)
+        assert part.schema.names == [c for c in ALL_COLUMNS if c in cols]
+        for c in part.schema.names:
+            assert part.column(c).equals(full.column(c)), (codec, cols, c)
+
+
+def test_decode_projection_never_touches_token_stream():
+    # hard proof of decode-side pruning: corrupt the token DATA stream
+    # beyond the LENGTH section — projections that don't need tokens
+    # must still decode correctly because they never read those bytes
+    import numpy as np
+    tbl = token_table(5000)
+    row = encode_block(tbl.combine_chunks().to_batches()[0])
+    full = decode_block(row)
+    raw = bytearray(row["tokens"]["data"])
+    # layout: u32 llen | lstream | u32 | u32 | ldir | u32 | u32 | vdir
+    # | vstream -- trash the last third (well inside vstream)
+    start = len(raw) - len(raw) // 3
+    raw[start:] = b"\xff" * (len(raw) - start)
+    row = dict(row)
+    row["tokens"] = dict(row["tokens"], data=bytes(raw))
+    for cols in (["n_tok"], ["doc_id", "source"], ["doc_id", "n_tok"]):
+        part = decode_block(row, columns=cols)
+        for c in part.schema.names:
+            assert part.column(c).equals(full.column(c)), cols
+    with pytest.raises(Exception):
+        decode_block(row, columns=["tokens"])
