@@ -84,6 +84,45 @@ def frame_sample(blobs: DataFrame, every: int = 4) -> DataFrame:
                 F.col("fr.frame").alias("frame"))
 
 
+def resize_stub(blobs: DataFrame, factor: int = 4) -> DataFrame:
+    """'Resize' stand-in: keep every ``factor``-th byte of the decoded
+    buffer (a real implementation would decode + PIL-resize behind
+    ``require_codecs``; the Spark-side plumbing — Arrow-batched
+    mapInPandas, binary in/binary out, deterministic downsampling — is
+    what this exercises for real).
+
+    Vectorized: one fancy-gather over the batch's concatenated buffer;
+    no per-row Python arithmetic."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            vals = pdf["blob"].to_numpy()
+            n = len(vals)
+            lens = np.fromiter((len(b) for b in vals), dtype=np.int64,
+                               count=n)
+            buf = np.frombuffer(b"".join(vals), dtype=np.uint8)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            out_lens = (lens + factor - 1) // factor
+            # position k of row i reads byte offs[i] + k*factor
+            within = np.arange(int(out_lens.sum()), dtype=np.int64)
+            row_of = np.repeat(np.arange(n), out_lens)
+            out_offs = np.concatenate(([0], np.cumsum(out_lens)))
+            within -= out_offs[row_of]
+            small = buf[np.repeat(offs[:-1], out_lens)
+                        + within * factor]
+            thumbs = [small[out_offs[i]: out_offs[i + 1]].tobytes()
+                      for i in range(n)]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes_out": out_lens,
+                "thumb": thumbs,
+            })
+
+    return blobs.mapInPandas(
+        kernel, "doc_id string, n_bytes_out long, thumb binary")
+
+
 def decode_stub_features(blobs: DataFrame) -> DataFrame:
     """The mapInPandas featurizer shape: Arrow-batched, partition-
     preserving. The per-blob 'decode' is a deterministic fake (sum of

@@ -124,6 +124,14 @@ def q_mm_frame_sample(spark, sf_dir):
                  F.sum(F.octet_length("frame")).alias("frame_bytes")))
 
 
+def q_mm_resize(spark, sf_dir):
+    from pipeline.multimodal import resize_stub, synth_blobs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = resize_stub(synth_blobs(docs), factor=4)
+    return out.select("doc_id", "n_bytes_out",
+                      F.hex("thumb").alias("thumb_hex"))
+
+
 def q_mm_decode_stub(spark, sf_dir):
     from pipeline.multimodal import decode_stub_features, synth_blobs
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -145,6 +153,7 @@ QUERIES = {
     "mm_blob_features": q_mm_blob_features,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_decode_stub": q_mm_decode_stub,
+    "mm_resize": q_mm_resize,
 }
 
 _LANG_LISTS = {
@@ -256,7 +265,20 @@ _SQL_MM_STUB = """
              0) AS BIGINT) AS byte_sum
     FROM t"""
 
+_SQL_MM_RESIZE = """
+    WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                      hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST((n + 3) // 4 AS BIGINT) AS n_bytes_out,
+           array_to_string(list_transform(range(0, (n + 3) // 4),
+                                          i -> substr(h, 8*i + 1, 2)),
+                           '') AS thumb_hex
+    FROM t"""
+
 ORACLES = {
+    "mm_resize": _SQL_MM_RESIZE,
     "dedup_minhash_lsh": _SQL_MINHASH,
     "dedup_simhash": _SQL_SIMHASH,
     "ann_lsh_bucketed": _SQL_ANN_LSH,
