@@ -580,13 +580,13 @@ def decode_block(row: dict, columns=None) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(arrays, schema=projected_schema(cols))
 
 
-def _empty_token_batch() -> pa.RecordBatch:
+def _empty_token_batch(cols=ALL_COLUMNS) -> pa.RecordBatch:
+    schema = projected_schema(cols)
     return pa.RecordBatch.from_arrays(
-        [pa.array([], type=f.type) for f in TOKEN_SCHEMA],
-        schema=TOKEN_SCHEMA)
+        [pa.array([], type=f.type) for f in schema], schema=schema)
 
 
-def decode_block_rows(row: dict, r0: int, r1: int
+def decode_block_rows(row: dict, r0: int, r1: int, columns=None
                       ) -> tuple[pa.RecordBatch, int]:
     """Decode ONLY rows [r0, r1) of a block (block-relative indices).
 
@@ -597,16 +597,22 @@ def decode_block_rows(row: dict, r0: int, r1: int
     directory; under a C1 codec only the compression frames covering
     those chunks are inflated (compress.FrameReader). Small streams
     (LENGTH, PRESENT, strings) decode fully and are row-sliced.
+    ``columns`` composes projection with the seek: a (doc_id, n_tok)
+    projection over one stride touches neither the token DATA stream
+    nor its frames at all.
 
     Returns ``(record_batch, token_stream_bytes_touched)`` — the
     second element is the evidence that decoded bytes scale with
     strides touched. Blocks written with ``dirs=False`` have no
     directory and fall back to a full decode + slice.
     """
+    cols = ALL_COLUMNS if columns is None else \
+        tuple(c for c in ALL_COLUMNS if c in set(columns))
+    need_tokens = "tokens" in cols
     n = int(row["n_rows"])
     r0, r1 = max(0, int(r0)), min(n, int(r1))
     if r1 <= r0:
-        return _empty_token_batch(), 0
+        return _empty_token_batch(cols), 0
     codec = row.get("codec") or "none"
     tok = row["tokens"]
     reader = compress.FrameReader(
@@ -634,17 +640,16 @@ def decode_block_rows(row: dict, r0: int, r1: int
     pos += vdlen
     vbase = pos
     if ldlen == 0 or vdlen == 0:  # dirs=False mode: no seek positions
-        full = decode_block(row)
+        full = decode_block(row, columns=cols)
         return full.slice(r0, r1 - r0), len(tok["data"])
 
     tok_nulls = int(tok["n_nulls"])
-    work_ntok, work_doc, work_src = \
-        row["ntok"], row["doc_id"], row["source"]
+    work_ntok = row["ntok"]
+    nt_is_length = work_ntok["kind"].endswith("=LENGTH")
     tok_present = tok["present"]
     if codec != "none":
-        work_ntok = _unwrap_codec(work_ntok, codec, "int")
-        work_doc = _unwrap_codec(work_doc, codec, "str")
-        work_src = _unwrap_codec(work_src, codec, "str")
+        if "n_tok" in cols and not nt_is_length:
+            work_ntok = _unwrap_codec(work_ntok, codec, "int")
         if isinstance(tok_present, bytes) and tok_present:
             tok_present = compress.decompress_stream(
                 tok_present,
@@ -653,9 +658,6 @@ def decode_block_rows(row: dict, r0: int, r1: int
     ldirvals = rle2.decode_rlev2(
         compress.decompress_stream(ldir, "zlib"), 2 * nl, signed=False)
     lgsizes = ldirvals[:nl]
-    vdirvals = rle2.decode_rlev2(
-        compress.decompress_stream(vdir, "zlib"), 2 * nv, signed=False)
-    vgsizes, vgcounts = vdirvals[:nv], vdirvals[nv:]
 
     lens = rle2.decode_rlev2(lstream, n - tok_nulls, signed=True,
                              groups=lgsizes)
@@ -667,45 +669,52 @@ def decode_block_rows(row: dict, r0: int, r1: int
     else:
         valid_t = None
         full_lens = lens
-    row_vo = cumsum0(full_lens)
-    v0, v1 = int(row_vo[r0]), int(row_vo[r1])
-    vals = rle2.decode_rlev2_range(
-        lambda lo, hi: fetch(vbase + lo, vbase + hi),
-        vgsizes, vgcounts, v0, v1, signed=True)
 
     m = r1 - r0
     sl_lens = full_lens[r0:r1]
-    offsets = cumsum0(sl_lens).astype(np.int32)
-    flat = pa.array(vals.astype(np.int32), type=pa.int32())
-    if valid_t is not None:
-        tokens_arr = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), flat,
-            mask=pa.array(~valid_t[r0:r1]))
-    else:
-        tokens_arr = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), flat)
+    arrays = []
+    for c in cols:
+        if c == "tokens":
+            vdirvals = rle2.decode_rlev2(
+                compress.decompress_stream(vdir, "zlib"), 2 * nv,
+                signed=False)
+            vgsizes, vgcounts = vdirvals[:nv], vdirvals[nv:]
+            row_vo = cumsum0(full_lens)
+            v0, v1 = int(row_vo[r0]), int(row_vo[r1])
+            vals = rle2.decode_rlev2_range(
+                lambda lo, hi: fetch(vbase + lo, vbase + hi),
+                vgsizes, vgcounts, v0, v1, signed=True)
+            offsets = cumsum0(sl_lens).astype(np.int32)
+            flat = pa.array(vals.astype(np.int32), type=pa.int32())
+            if valid_t is not None:
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()), flat,
+                    mask=pa.array(~valid_t[r0:r1])))
+            else:
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()), flat))
+        elif c == "n_tok":
+            if nt_is_length:
+                arrays.append(pa.array(sl_lens.astype(np.int32),
+                                       type=pa.int32()))
+            else:
+                nt_vals, nt_valid = _decode_int_column(work_ntok, n)
+                arr = pa.array(nt_vals.astype(np.int32),
+                               type=pa.int32()) \
+                    if nt_valid is None else _scatter_nulls_int(
+                        nt_vals, nt_valid, np.int32)
+                arrays.append(arr.slice(r0, m))
+        elif c in ("doc_id", "source"):
+            col = row[c]
+            if codec != "none":
+                col = _unwrap_codec(col, codec, "str")
+            arr, valid = _decode_str_column(col, n)
+            if valid is not None:
+                arr = _with_nulls_str(arr, valid)
+            arrays.append(arr.slice(r0, m).cast(pa.string()))
 
-    nt = work_ntok
-    if nt["kind"].endswith("=LENGTH"):
-        ntok_arr = pa.array(sl_lens.astype(np.int32), type=pa.int32())
-    else:
-        nt_vals, nt_valid = _decode_int_column(nt, n)
-        arr = pa.array(nt_vals.astype(np.int32), type=pa.int32()) \
-            if nt_valid is None else _scatter_nulls_int(
-                nt_vals, nt_valid, np.int32)
-        ntok_arr = arr.slice(r0, m)
-
-    doc_arr, doc_valid = _decode_str_column(work_doc, n)
-    if doc_valid is not None:
-        doc_arr = _with_nulls_str(doc_arr, doc_valid)
-    src_arr, src_valid = _decode_str_column(work_src, n)
-    if src_valid is not None:
-        src_arr = _with_nulls_str(src_arr, src_valid)
-
-    batch = pa.RecordBatch.from_arrays(
-        [doc_arr.slice(r0, m).cast(pa.string()), tokens_arr, ntok_arr,
-         src_arr.slice(r0, m).cast(pa.string())],
-        schema=TOKEN_SCHEMA)
+    batch = pa.RecordBatch.from_arrays(arrays,
+                                       schema=projected_schema(cols))
     return batch, reader.bytes_touched
 
 

@@ -16,12 +16,13 @@ from jobs.encode import read_blocks
 
 
 def stride_pruned_kernel(ntok_min=None, ntok_max=None,
-                         tok_min=None, tok_max=None):
+                         tok_min=None, tok_max=None, columns=None):
     """mapInArrow kernel: per block, decode ONLY the strides whose
     metadata intersects the predicates (engine.blocks.stride_row_spans
     plans the row spans; decode_block_rows seeks inside the token
-    stream via the chunk directories). Returned rows are a SUPERSET of
-    matching rows — apply the exact filter downstream."""
+    stream via the chunk directories), and ONLY the projected columns'
+    streams (``columns``). Returned rows are a SUPERSET of matching
+    rows — apply the exact filter downstream."""
     def kernel(batches):
         from engine.blocks import decode_block_rows, stride_row_spans
         for batch in batches:
@@ -29,7 +30,8 @@ def stride_pruned_kernel(ntok_min=None, ntok_max=None,
                 for r0, r1 in stride_row_spans(
                         row, ntok_min=ntok_min, ntok_max=ntok_max,
                         tok_min=tok_min, tok_max=tok_max):
-                    rb, _ = decode_block_rows(row, r0, r1)
+                    rb, _ = decode_block_rows(row, r0, r1,
+                                              columns=columns)
                     if rb.num_rows:
                         yield rb
     return kernel
@@ -68,11 +70,13 @@ def decode_table(spark: SparkSession, blocks_path: str,
     any_pred = any(p is not None
                    for p in (tok_min, tok_max, ntok_min, ntok_max))
     if stride_seek and any_pred:
-        dec = blocks.mapInArrow(
+        from engine.blocks import projected_ddl
+        ddl = projected_ddl(columns) if columns else TOKEN_DDL
+        return blocks.mapInArrow(
             stride_pruned_kernel(ntok_min=ntok_min, ntok_max=ntok_max,
-                                 tok_min=tok_min, tok_max=tok_max),
-            TOKEN_DDL)
-        return dec.select(*columns) if columns else dec
+                                 tok_min=tok_min, tok_max=tok_max,
+                                 columns=columns),
+            ddl)
     if columns:
         # decode-side column pruning: the kernel inflates/decodes only
         # the streams the projection needs (an n_tok-only projection

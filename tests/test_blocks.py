@@ -333,3 +333,26 @@ def test_decode_projection_never_touches_token_stream():
             assert part.column(c).equals(full.column(c)), cols
     with pytest.raises(Exception):
         decode_block(row, columns=["tokens"])
+
+
+@pytest.mark.parametrize("codec", ["none", "mixed"])
+def test_stride_seek_with_projection(codec):
+    # predicate + projection compose: a (doc_id, n_tok) projection of
+    # one stride touches ZERO token-DATA bytes
+    from engine.blocks import decode_block_rows
+    tbl, row = _sorted_multi_stride_block(codec)
+    full = decode_block(row)
+    part, touched = decode_block_rows(row, 10_000, 20_000,
+                                      columns=["doc_id", "n_tok"])
+    assert part.schema.names == ["doc_id", "n_tok"]
+    assert part.column("doc_id").equals(
+        full.column("doc_id").slice(10_000, 10_000))
+    assert part.column("n_tok").equals(
+        full.column("n_tok").slice(10_000, 10_000))
+    # only the header/LENGTH/dir bytes were fetched — a tiny fraction
+    _, full_touched = decode_block_rows(row, 0, 25_000)
+    assert touched < 0.1 * full_touched, (codec, touched, full_touched)
+    # and tokens projection of the same stride still matches
+    pt, _ = decode_block_rows(row, 10_000, 20_000, columns=["tokens"])
+    assert pt.column("tokens").equals(
+        full.column("tokens").slice(10_000, 10_000))
