@@ -216,6 +216,13 @@ def write_orc(table: pa.Table, path: str,
     total_rows = table.num_rows
     n_stripes = 0
     stats_cols: list[_Col] | None = None
+    # file-level statistics accumulate across ALL stripes (per flattened
+    # column index): numberOfValues is the sum of per-stripe non-null
+    # counts and hasNull the OR — readers that trust file stats (COUNT
+    # pushdown, hasNull-based IS NULL pruning) see the whole file, not
+    # just the last stripe
+    agg_nvals: list[int] = []
+    agg_hasnull: list[bool] = []
 
     for s0 in range(0, max(total_rows, 1), stripe_rows):
         chunk = table.slice(s0, stripe_rows)
@@ -227,8 +234,12 @@ def write_orc(table: pa.Table, path: str,
             names=chunk.column_names))
         cols: list[_Col] = []
         _flatten(root, cols)
-        if stats_cols is None:
-            stats_cols = cols  # last stripe's cols reused for footer
+        if not agg_nvals:
+            agg_nvals = [0] * len(cols)
+            agg_hasnull = [False] * len(cols)
+        for i, c in enumerate(cols):
+            agg_nvals[i] += c.n_values
+            agg_hasnull[i] = agg_hasnull[i] or c.has_null
         offset = len(out)
         sf = b""
         data_len = 0
@@ -256,9 +267,9 @@ def write_orc(table: pa.Table, path: str,
     footer = pb_varint(1, len(MAGIC)) + pb_varint(2, content_len) \
         + stripes_pb + _type_tree(stats_cols or []) \
         + pb_varint(6, total_rows)
-    for c in (stats_cols or []):
-        footer += pb_bytes(7, pb_varint(1, c.n_values)
-                           + pb_varint(10, 1 if c.has_null else 0))
+    for nv, hn in zip(agg_nvals, agg_hasnull):
+        footer += pb_bytes(7, pb_varint(1, nv)
+                           + pb_varint(10, 1 if hn else 0))
     footer += pb_varint(8, 0)  # row_index_stride=0: no ROW_INDEX streams
     out += footer
     ps = pb_varint(1, len(footer)) + pb_varint(2, 0) \

@@ -81,6 +81,42 @@ def test_temporal_decimal_binary_read_by_orc_cpp():
     _assert_equal(t, back)
 
 
+def _footer_column_stats(path):
+    """(numberOfValues, hasNull) per flattened column from Footer
+    statistics (field 7), via the hand-rolled tail walker."""
+    from tests.orc_tail import _fields
+    with open(path, "rb") as f:
+        data = f.read()
+    ps_len = data[-1]
+    ps = data[-1 - ps_len: -1]
+    footer_len = next(v for fno, _, v in _fields(ps) if fno == 1)
+    footer = data[-1 - ps_len - footer_len: -1 - ps_len]
+    stats = []
+    for fno, _, v in _fields(footer):
+        if fno == 7:
+            nv, hn = 0, 0
+            for f2, _, v2 in _fields(v):
+                if f2 == 1:
+                    nv = v2
+                elif f2 == 10:
+                    hn = v2
+            stats.append((nv, bool(hn)))
+    return stats
+
+
+def test_footer_stats_aggregate_across_stripes():
+    # nulls ONLY in the first stripe: file-level numberOfValues must sum
+    # non-null counts over ALL stripes and hasNull must OR them (a
+    # last-stripe-only footer would claim 10 values / hasNull=false)
+    x = [None if i < 5 else i for i in range(30)]
+    t = pa.table({"x": pa.array(x, type=pa.int64())})
+    back, f = _roundtrip_cpp(t, stripe_rows=10)
+    _assert_equal(t, back)
+    stats = _footer_column_stats(f)
+    assert stats[0] == (30, False)   # struct root: one value per row
+    assert stats[1] == (25, True)    # x: 25 non-null, nulls present
+
+
 def test_token_table_read_by_orc_java(spark):
     # second independent reader: orc-core (Java) through Spark
     t = token_table(2000)
