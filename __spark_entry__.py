@@ -33,6 +33,80 @@ _SQL_TOKENS = ("list_transform(range(0, (n_chars % 97) + 8), "
 _SQL_NTOK = "CAST((n_chars % 97) + 8 AS INTEGER)"
 
 
+def _sql_partition_assignment(num_parts: int, num_buckets: int) -> str:
+    """CTE chain recomputing the §2.6 ntok_range partition assignment
+    in ANSI SQL: integer token-weighted bucket map
+    (jobs.encode.plan_partitions), md5-portable salt
+    (jobs.encode.portable_salt), and Spark's Murmur3 hashInt(seed=42)
+    for the bucket->physical-partition mapping (``repartition(P, pid)``
+    == ``pmod(murmur3(pid), P)`` — empirically pinned in
+    tests/test_audit_oracles.py). Ends with ``assigned(doc_id, n_tok,
+    pid)`` and ``parts(pid, part_id)``; callers append the final
+    SELECT. Murmur3 constants are u32 images of the public algorithm's
+    signed literals; arithmetic runs in HUGEINT to avoid u32*u32
+    overflow."""
+    nb, p = num_buckets, num_parts
+    u32 = 4294967296
+    return f"""
+    WITH tok AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_SQL_NTOK} AS n_tok
+      FROM documents),
+    hist AS (SELECT n_tok, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tok GROUP BY n_tok),
+    cumw AS (SELECT n_tok, CAST(n_tok AS BIGINT) * c AS w,
+             COALESCE(SUM(CAST(n_tok AS BIGINT) * c) OVER (
+               ORDER BY n_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cw,
+             SUM(CAST(n_tok AS BIGINT) * c) OVER () AS tw
+             FROM hist),
+    bmap AS (SELECT n_tok,
+             LEAST(cw * {nb} // tw, {nb - 1}) AS lo,
+             GREATEST(1, LEAST((cw + w) * {nb} // tw, {nb - 1})
+                         - LEAST(cw * {nb} // tw, {nb - 1}) + 1)
+               AS spans
+             FROM cumw),
+    salted AS (SELECT doc_id, n_tok,
+               (strpos('0123456789abcdef',
+                       substr(md5(doc_id), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(doc_id), 2, 1)) - 1) AS salt
+               FROM tok),
+    assigned AS (SELECT s.doc_id, s.n_tok,
+                 CAST(b.lo + s.salt % b.spans AS BIGINT) AS pid
+                 FROM salted s JOIN bmap b USING (n_tok)),
+    pids AS (SELECT DISTINCT pid FROM assigned),
+    m1 AS (SELECT pid, (CAST((pid % {u32} + {u32}) % {u32} AS HUGEINT)
+                        * 3432918353) % {u32} AS k1 FROM pids),
+    m2 AS (SELECT pid, CAST((k1 * 32768) % {u32} + k1 // 131072
+                            AS HUGEINT) AS k1r FROM m1),
+    m3 AS (SELECT pid, (k1r * 461845907) % {u32} AS k1m FROM m2),
+    m4 AS (SELECT pid, CAST(xor(CAST(42 AS BIGINT), CAST(k1m AS BIGINT))
+                            AS HUGEINT) AS h1 FROM m3),
+    m5 AS (SELECT pid, (h1 * 8192) % {u32} + h1 // 524288 AS h1r
+           FROM m4),
+    m6 AS (SELECT pid, (CAST(h1r AS HUGEINT) * 5 + 3864292196) % {u32}
+                       AS h1a FROM m5),
+    m7 AS (SELECT pid, CAST(xor(CAST(h1a AS BIGINT), 4) AS HUGEINT)
+                       AS f0 FROM m6),
+    m8 AS (SELECT pid, CAST(xor(CAST(f0 AS BIGINT),
+                                CAST(f0 // 65536 AS BIGINT)) AS HUGEINT)
+                       AS f1 FROM m7),
+    m9 AS (SELECT pid, (f1 * 2246822507) % {u32} AS f2 FROM m8),
+    ma AS (SELECT pid, CAST(xor(CAST(f2 AS BIGINT),
+                                CAST(f2 // 8192 AS BIGINT)) AS HUGEINT)
+                       AS f3 FROM m9),
+    mb AS (SELECT pid, (f3 * 3266489909) % {u32} AS f4 FROM ma),
+    mc AS (SELECT pid, CAST(xor(CAST(f4 AS BIGINT),
+                                CAST(f4 // 65536 AS BIGINT)) AS BIGINT)
+                       AS f5 FROM mb),
+    parts AS (SELECT pid,
+              CAST(((CASE WHEN f5 >= 2147483648 THEN f5 - {u32}
+                          ELSE f5 END) % {p} + {p}) % {p} AS INTEGER)
+                AS part_id
+              FROM mc)"""
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -507,6 +581,56 @@ def _q_orc_file_roundtrip(spark, sf_dir):
                     lambda a, x: a + x).alias("tok_sum"))
 
 
+def _q_skew_spread(spark, sf_dir):
+    """§2.6 skew partition planning, fully oracle-checked: the
+    token-weighted range-bucket map (jobs.encode.plan_partitions,
+    pure-integer arithmetic), the md5-portable heavy-value salt, AND
+    Spark's Murmur3 bucket->physical-partition hash are all recomputed
+    bit-for-bit by the DuckDB oracle. Per-partition row counts and
+    token mass prove the planned (skew-defused) partition contents."""
+    from jobs.encode import BUCKETS_PER_PART, plan_partitions, \
+        portable_salt
+    P = 8
+    nb = P * BUCKETS_PER_PART
+    tok = _token_df(spark, sf_dir).select("doc_id", "n_tok")
+    bmap = plan_partitions(tok, nb)
+    assigned = (tok.withColumn("salt", portable_salt("doc_id"))
+                .join(F.broadcast(bmap), "n_tok")
+                .withColumn("pid", (F.col("bucket_start")
+                                    + F.pmod("salt", F.col("spans")))
+                            .cast("int"))
+                .withColumn("part_id", F.pmod(F.hash("pid"), F.lit(P))))
+    return (assigned.groupBy("part_id")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("n_tok").cast("bigint").alias("token_mass")))
+
+
+def _q_lineage_stats(spark, sf_dir):
+    """§2.6 lineage manifest, fully oracle-checked: runs the REAL
+    encode job (one shuffle -> mapInArrow -> parquet append + manifest
+    commit, jobs/encode.py) with the portable salt, then returns each
+    committed partition's lineage (n_rows, n_values) from the manifest
+    JSON. The oracle recomputes the whole partition assignment —
+    integer bucket map, md5 salt, Murmur3 physical hash — and the
+    per-partition aggregates from the raw documents table; matching
+    proves the manifest records exactly the planned partition contents.
+    (Driver-local temp dir — the manifest backend is POSIX-only in
+    this sandbox, jobs/table_io.py.)"""
+    import tempfile
+    from jobs import table_io
+    from jobs.encode import encode_table, portable_salt
+    tok = _token_df(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="lineage_stats_")
+    encode_table(spark, tok, out, num_partitions=8, resume=False,
+                 codec="mixed", strategy="ntok_range",
+                 salt_expr=portable_salt("doc_id"))
+    parts = table_io.committed_parts(out)
+    rows = [(int(pid), int(p["n_rows"]), int(p["n_values"]))
+            for pid, p in sorted(parts.items())]
+    return spark.createDataFrame(
+        rows, "part_id int, n_rows bigint, n_values bigint")
+
+
 def _q_block_stats(spark, sf_dir):
     """Footer-style metadata only — no decode: global stats read from
     block columns (M1 column statistics)."""
@@ -582,6 +706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_file_roundtrip": _q_orc_file_roundtrip,      # M4
         # decode-side column pruning
         "decode_projection": _q_decode_projection,        # M6
+        # §2.6 dataflow operators: skew partition planning + lineage
+        # manifest, both with full partition-assignment oracles
+        "skew_spread": _q_skew_spread,                    # §2.6 skew
+        "lineage_stats": _q_lineage_stats,                # §2.6 lineage
         # metadata operators
         "block_stats": _q_block_stats,                    # M1, M4
         "stride_stats": _q_stride_stats,                  # M2
@@ -697,6 +825,16 @@ def oracle_sql() -> dict[str, str]:
                      CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
               FROM documents)
             WHERE n_tok BETWEEN 80 AND 95""",
+        "skew_spread": _sql_partition_assignment(8, 128) + """
+            SELECT p.part_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(a.n_tok) AS BIGINT) AS token_mass
+            FROM assigned a JOIN parts p USING (pid)
+            GROUP BY p.part_id""",
+        "lineage_stats": _sql_partition_assignment(8, 128) + """
+            SELECT p.part_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(a.n_tok) AS BIGINT) AS n_values
+            FROM assigned a JOIN parts p USING (pid)
+            GROUP BY p.part_id""",
         "block_stats": f"""
             SELECT CAST(SUM(n_tok) AS BIGINT) AS n_values,
                    CAST(MIN(tok_min) AS BIGINT) AS tok_min,

@@ -73,12 +73,16 @@ def plan_partitions(df: DataFrame, num_buckets: int) -> DataFrame:
             "use strategy='doc_range' for unbounded keys")
     rows = []
     total_w = sum(r["n_tok"] * r["c"] for r in hist) or 1
-    per_bucket = total_w / num_buckets
-    cum = 0.0
+    # pure-integer bucket arithmetic (Python ints are unbounded, so
+    # cum * num_buckets cannot overflow even at 10^15 tokens x 10^4
+    # buckets): lo/hi = floor(cum * num_buckets / total) — exactly
+    # reproducible by an ANSI-SQL oracle in BIGINT/HUGEINT, unlike the
+    # float division it replaces
+    cum = 0
     for r in hist:
         w = r["n_tok"] * r["c"]
-        lo = min(int(cum / per_bucket), num_buckets - 1)
-        hi = min(int((cum + w) / per_bucket), num_buckets - 1)
+        lo = min(cum * num_buckets // total_w, num_buckets - 1)
+        hi = min((cum + w) * num_buckets // total_w, num_buckets - 1)
         rows.append((r["n_tok"], lo, max(1, hi - lo + 1)))
         cum += w
     spark = df.sparkSession
@@ -127,6 +131,20 @@ def plan_input_ranges(df_ord: DataFrame, num_parts: int,
     return bounds
 
 
+def portable_salt(col: str = "doc_id"):
+    """Salt in [0, SALT_BUCKETS): the first two hex digits of
+    ``md5(col)`` as an integer. Functionally identical to the default
+    ``pmod(xxhash64(col), SALT_BUCKETS)`` (uniform, deterministic,
+    content-pure) but built from md5/substr/instr only, so an ANSI-SQL
+    oracle (DuckDB) reproduces the partition assignment bit-for-bit —
+    the same portable-hash-family trick pipeline/dedup.py uses for the
+    LSH oracles. Requires SALT_BUCKETS == 256."""
+    hx = "0123456789abcdef"
+    d = [F.instr(F.lit(hx), F.substring(F.md5(F.col(col)), k + 1, 1)) - 1
+         for k in range(2)]
+    return (d[0] * 16 + d[1]).cast("int")
+
+
 def _kernel(skip_parts: set[int], block_rows: int, attempt: int,
             codec: str = "none"):
     def encode_kernel(batches):
@@ -147,7 +165,8 @@ def encode_table(spark: SparkSession, df: DataFrame, out_path: str,
                  block_rows: int = DEFAULT_BLOCK_ROWS,
                  resume: bool = True, attempt: int | None = None,
                  codec: str = "mixed",
-                 strategy: str = "ntok_range") -> dict:
+                 strategy: str = "ntok_range",
+                 salt_expr=None) -> dict:
     """Run the encode pipeline; returns a metrics dict.
 
     ``df`` must have the input_hint schema (doc_id, tokens, n_tok,
@@ -162,6 +181,11 @@ def encode_table(spark: SparkSession, df: DataFrame, out_path: str,
       boundaries — same balance guarantee, but preserves the corpus'
       document adjacency inside blocks, which compresses ~0.2
       bits/token better on ordered corpora (see plan_input_ranges).
+
+    ``salt_expr`` (ntok_range only) overrides the heavy-value salt
+    column (default ``pmod(xxhash64(doc_id), SALT_BUCKETS)``); pass
+    :func:`portable_salt` to make the whole partition assignment
+    reproducible by an ANSI-SQL oracle.
     """
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -190,14 +214,17 @@ def encode_table(spark: SparkSession, df: DataFrame, out_path: str,
     else:
         num_buckets = num_partitions * BUCKETS_PER_PART
         bucket_map = plan_partitions(df, num_buckets)
+        if salt_expr is None:
+            salt_expr = F.pmod(F.xxhash64("doc_id"), F.lit(SALT_BUCKETS))
+        # pid is cast to int so the repartition hash is Spark's
+        # Murmur3 hashInt — the function the SQL oracle reimplements
         salted = (df
-                  .withColumn("salt", F.pmod(F.xxhash64("doc_id"),
-                                             F.lit(SALT_BUCKETS)))
+                  .withColumn("salt", salt_expr)
                   .join(F.broadcast(bucket_map), "n_tok", "left")
                   .withColumn("pid", F.coalesce(
                       F.col("bucket_start")
                       + F.pmod("salt", F.col("spans")),
-                      F.pmod("salt", F.lit(num_buckets))))
+                      F.pmod("salt", F.lit(num_buckets))).cast("int"))
                   .drop("bucket_start", "spans")
                   .select("doc_id", "tokens", "n_tok", "source", "pid"))
         parted = salted.repartition(num_partitions, "pid")
