@@ -624,6 +624,12 @@ def _q_lineage_stats(spark, sf_dir):
     encode_table(spark, tok, out, num_partitions=8, resume=False,
                  codec="mixed", strategy="ntok_range",
                  salt_expr=portable_salt("doc_id"))
+    # resume path under oracle check: the re-run must skip every
+    # committed partition — any re-encoded part would double its
+    # manifest n_rows and fail the value-hash compare
+    encode_table(spark, tok, out, num_partitions=8, resume=True,
+                 codec="mixed", strategy="ntok_range",
+                 salt_expr=portable_salt("doc_id"))
     parts = table_io.committed_parts(out)
     rows = [(int(pid), int(p["n_rows"]), int(p["n_values"]))
             for pid, p in sorted(parts.items())]
