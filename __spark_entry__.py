@@ -563,18 +563,22 @@ def _q_decode_projection(spark, sf_dir):
 
 
 def _q_orc_file_roundtrip(spark, sf_dir):
-    """M4 completion — real .orc emission: the derived token table is
-    written with the engine's ORC v1 writer (engine/orc_file.py,
-    hand-assembled protobuf tail + engine streams) and read back by
-    orc-core (Java) via spark.read.orc; matching the oracle proves the
-    emitted FILE, not just the streams, is spec-conformant."""
+    """M4 completion — real .orc emission, distributed: each physical
+    partition writes one part-file with the engine's ORC v1 writer
+    (engine/orc_file.py, hand-assembled protobuf tail + engine
+    streams) inside mapInArrow (jobs/orc_write.py — no driver-side
+    collect), and the directory is read back by orc-core (Java) via
+    spark.read.orc; matching the oracle proves the emitted FILES, not
+    just the streams, are spec-conformant. (Local-mode path contract:
+    out_dir is a driver-local temp dir, see jobs/orc_write.py.)"""
     import tempfile
-    from engine.orc_file import write_orc
+    from jobs.orc_write import write_orc_dir
 
-    tbl = _token_df(spark, sf_dir).toArrow()
-    path = tempfile.mktemp(suffix=".orc")
-    write_orc(tbl, path)
-    dec = spark.read.orc(path)
+    tok = _token_df(spark, sf_dir).repartition(4)
+    out = tempfile.mkdtemp(prefix="orc_emit_")
+    manifest = write_orc_dir(tok, out).collect()
+    assert sum(m["n_rows"] for m in manifest) == tok.count()
+    dec = spark.read.orc(out)
     return dec.select(
         "doc_id", "n_tok",
         F.aggregate("tokens", F.lit(0).cast("long"),

@@ -1,0 +1,62 @@
+"""Distributed ORC file emission (SURVEY.md §2.5 M4, scale-true form).
+
+Each physical partition writes ONE ``part-<pid>.orc`` file with the
+engine's spec-conformant ORC v1 writer (engine/orc_file.py) from
+inside a ``mapInArrow`` kernel — the multi-file layout every
+distributed ORC writer produces (orc-core PhysicalFsWriter, one
+writer per task; reference-extract/javap/PhysicalFsWriter.txt:34-48).
+Nothing funnels through the driver: the kernel's output is a tiny
+per-file manifest row, and readers (``spark.read.orc(dir)``,
+ORC C++/pyarrow per file) scan the directory in parallel.
+
+Memory: a task buffers its partition before writing (write_orc takes
+a table and slices stripes internally), so partition sizing bounds
+writer memory exactly like ORC's stripe-flush budget — size the
+upstream ``repartition`` so partitions fit the executor arena.
+
+Path contract: ``out_dir`` must be visible to every task (shared FS,
+NFS, or local mode) — same POSIX constraint as jobs/table_io.py; the
+swap-in for object stores is writing to the Hadoop FS API.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from jobs.table_io import _require_local
+
+MANIFEST_DDL = "path string, part_id bigint, n_rows bigint, n_bytes bigint"
+
+
+def write_orc_dir(df: DataFrame, out_dir: str,
+                  stripe_rows: int = 1_000_000) -> DataFrame:
+    """Write ``df`` as a directory of ORC part-files, one per physical
+    partition; returns the (lazy) per-file manifest DataFrame —
+    ``.collect()`` it to run the write. Empty partitions emit nothing.
+    """
+    out_dir = _require_local(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def kernel(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        from engine.orc_file import write_orc
+        parts = [b for b in batches if b.num_rows]
+        if not parts:
+            return
+        pid = TaskContext.get().partitionId()
+        tbl = pa.Table.from_batches(parts)
+        path = os.path.join(out_dir, f"part-{pid:05d}.orc")
+        tmp = path + ".tmp"
+        write_orc(tbl, tmp, stripe_rows=stripe_rows)
+        os.replace(tmp, path)  # atomic publish, crash leaves no partials
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([path]), pa.array([pid], type=pa.int64()),
+             pa.array([tbl.num_rows], type=pa.int64()),
+             pa.array([os.path.getsize(path)], type=pa.int64())],
+            names=["path", "part_id", "n_rows", "n_bytes"])
+
+    return df.mapInArrow(kernel, MANIFEST_DDL)

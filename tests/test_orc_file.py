@@ -131,3 +131,31 @@ def test_token_table_read_by_orc_java(spark):
         want.column("tokens").combine_chunks().to_pylist()
     assert [r["n_tok"] for r in got] == want.column("n_tok").to_pylist()
     assert [r["source"] for r in got] == want.column("source").to_pylist()
+
+
+def test_distributed_orc_dir_write(spark):
+    # jobs/orc_write.py: one part-file per physical partition, no
+    # driver-side collect; read back by BOTH independent readers
+    import glob
+    import os
+
+    from jobs.orc_write import write_orc_dir
+    t = token_table(3000)
+    df = spark.createDataFrame(t).repartition(4)
+    out = tempfile.mkdtemp(prefix="orc_dir_")
+    manifest = write_orc_dir(df, out).collect()
+    files = sorted(glob.glob(os.path.join(out, "part-*.orc")))
+    assert len(files) == 4 == len(manifest)
+    assert sum(m["n_rows"] for m in manifest) == 3000
+    assert {m["path"] for m in manifest} == set(files)
+    for m in manifest:
+        assert m["n_bytes"] == os.path.getsize(m["path"])
+    # orc-core (Java) reads the whole directory
+    got = spark.read.orc(out).orderBy("doc_id").collect()
+    want = t.sort_by("doc_id")
+    assert [r["doc_id"] for r in got] == want.column("doc_id").to_pylist()
+    assert [r["tokens"] for r in got] == \
+        want.column("tokens").combine_chunks().to_pylist()
+    # ORC C++ reads each part-file
+    n_cpp = sum(orc.read_table(f).num_rows for f in files)
+    assert n_cpp == 3000
