@@ -114,33 +114,78 @@ def verify_identity(input_df: DataFrame, decoded_df: DataFrame) -> dict:
     }
 
 
+def block_point_lookup(row: dict, ids: list[str],
+                       qdata=None, qlens=None):
+    """Point-lookup decode of ONE block row, composing all three prune
+    levels: bloom -> doc_id-projected decode -> stride/chunk seek.
+
+    1. The block's doc_id bloom (ORC BloomFilterUtf8 semantics) is
+       tested first — a miss skips the block without touching any
+       value stream.
+    2. Surviving blocks decode ONLY the doc_id column (decode-side
+       projection: the token DATA stream, ~97% of block bytes, is not
+       inflated) to locate the exact matching row positions.
+    3. Only the matching row runs are decoded in full, seeking into
+       the token stream via the chunk directories
+       (engine.blocks.decode_block_rows) — token bytes touched scale
+       with HITS, not block size.
+
+    Returns ``(record_batch_or_None, token_bytes_touched)``; the batch
+    still needs the exact doc_id filter downstream (decode_block_rows
+    returns whole chunk-covered runs only when hits are adjacent —
+    here runs are exact row spans, but keep the filter for safety).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.blocks import decode_block, decode_block_rows
+    from engine.bloom import BloomFilter
+
+    if qdata is None:
+        qdata = np.frombuffer("".join(ids).encode(), np.uint8)
+        qlens = np.array([len(i.encode()) for i in ids], dtype=np.int64)
+    blob = row.get("bloom_doc_id")
+    if blob:
+        bf = BloomFilter.deserialize(blob)
+        if not bf.test_strings(qdata, qlens).any():
+            return None, 0  # bloom-pruned: skip whole block
+    id_batch = decode_block(row, columns=["doc_id"])
+    hit = np.flatnonzero(
+        np.asarray(pc.is_in(id_batch.column("doc_id"),
+                            value_set=pa.array(ids))))
+    if hit.size == 0:
+        return None, 0  # bloom false positive: still no token bytes
+    # merge consecutive hit rows into runs; decode each run via the
+    # chunk-directory seek path
+    splits = np.flatnonzero(np.diff(hit) > 1) + 1
+    batches, touched = [], 0
+    for run in np.split(hit, splits):
+        rb, tb = decode_block_rows(row, int(run[0]), int(run[-1]) + 1)
+        batches.append(rb)
+        touched += tb
+    tbl = pa.Table.from_batches(batches).combine_chunks()
+    return tbl.to_batches()[0] if tbl.num_rows else None, touched
+
+
 def lookup_doc_ids(spark: SparkSession, blocks_path: str,
                    doc_ids: list[str]) -> DataFrame:
-    """Point lookups: bloom-prune blocks by doc_id BEFORE decoding.
-
-    The per-block bloom (ORC BloomFilterUtf8 semantics) is tested in a
-    vectorized Arrow kernel over the block rows; only blocks that might
-    contain one of the requested ids are decoded, then the exact filter
-    applies. At 10^12 rows this reads bloom blobs (~1.5 KB per 8k-row
-    block) instead of token streams for point queries.
-    """
+    """Point lookups composing bloom -> projection -> stride seek per
+    block (:func:`block_point_lookup`). At 10^12 rows a point query
+    reads bloom blobs (~1.5 KB per 8k-row block) for most blocks, the
+    small doc_id streams for bloom-surviving blocks, and token-stream
+    chunks only around actual hits."""
     ids = [str(d) for d in doc_ids]
 
     def prune_and_decode(batches):
         import numpy as np
-        import pyarrow as pa
-        from engine.blocks import decode_block
-        from engine.bloom import BloomFilter
         qdata = np.frombuffer("".join(ids).encode(), np.uint8)
         qlens = np.array([len(i.encode()) for i in ids], dtype=np.int64)
         for batch in batches:
             for row in batch.to_pylist():
-                blob = row.get("bloom_doc_id")
-                if blob:
-                    bf = BloomFilter.deserialize(blob)
-                    if not bf.test_strings(qdata, qlens).any():
-                        continue  # bloom-pruned: skip whole block
-                yield decode_block(row)
+                rb, _ = block_point_lookup(row, ids, qdata, qlens)
+                if rb is not None:
+                    yield rb
 
     blocks = read_blocks(spark, blocks_path)
     dec = blocks.mapInArrow(prune_and_decode, TOKEN_DDL)

@@ -356,3 +356,27 @@ def test_stride_seek_with_projection(codec):
     pt, _ = decode_block_rows(row, 10_000, 20_000, columns=["tokens"])
     assert pt.column("tokens").equals(
         full.column("tokens").slice(10_000, 10_000))
+
+
+@pytest.mark.parametrize("codec", ["none", "zlib", "mixed"])
+def test_point_lookup_composes_bloom_seek_projection(codec):
+    # jobs.decode.block_point_lookup: bloom miss -> zero bytes; hit ->
+    # token bytes scale with hits, not block size (r2 verdict #3)
+    from jobs.decode import block_point_lookup
+    tbl, row = _sorted_multi_stride_block(codec)
+    ids = tbl.column("doc_id").to_pylist()
+    want = [ids[7], ids[12_345], ids[24_999]]
+    rb, touched = block_point_lookup(row, want)
+    got = {d: t for d, t in zip(rb.column("doc_id").to_pylist(),
+                                rb.column("tokens").to_pylist())}
+    full = {d: t for d, t in zip(ids, tbl.column("tokens").to_pylist())
+            if d in set(want)}
+    for d in want:
+        assert got[d] == full[d], d
+    # 3 scattered hits: far less than the whole token stream
+    assert touched < 0.25 * len(row["tokens"]["data"]), \
+        (codec, touched, len(row["tokens"]["data"]))
+    # absent id: bloom (or the projected doc_id scan) prunes with zero
+    # token-stream bytes
+    rb2, touched2 = block_point_lookup(row, ["no-such-doc-id"])
+    assert rb2 is None and touched2 == 0
