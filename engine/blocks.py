@@ -47,6 +47,22 @@ KIND_DIRECT = "DIRECT_V2"
 KIND_DICT = "DICTIONARY_V2"
 KIND_FSST = "FSST"
 
+# tokens-blob layout version (first byte of tokens.data). The r2
+# revision changed the layout incompatibly with no marker (opaque
+# KeyError / directory-mismatch on old tables); v3 adds this byte so
+# a mismatch fails with a descriptive error instead.
+TOKENS_BLOB_VERSION = 3
+
+
+def _check_blob_version(v: int) -> None:
+    if v != TOKENS_BLOB_VERSION:
+        raise ValueError(
+            f"tokens blob format version {v} != supported "
+            f"{TOKENS_BLOB_VERSION}: this blocks table was written by "
+            "a different engine revision (pre-v3 tables have no "
+            "version byte) — decode it with that revision or "
+            "re-encode the table")
+
 _EMPTY = b""
 
 STR_COL_TYPE = pa.struct([
@@ -263,22 +279,25 @@ _WRAP_KEYS = ("data", "length", "dict", "present")
 
 def _wrap_codec(col: dict, codec: str, kind: str) -> None:
     """Frame every non-empty binary stream of a column (C1 wrapper).
-    ``kind`` ('int' | 'str') drives the per-stream codec choice of the
-    mixed profile (compress.resolve_stream_codec)."""
+    ``kind`` ('int' | 'str') plus the string column's encoding kind
+    drive the per-stream codec choice of the mixed profile
+    (compress.resolve_stream_codec)."""
+    enc = col.get("kind") if kind == "str" else None
     for k in _WRAP_KEYS:
         v = col.get(k)
         if isinstance(v, bytes) and v:
             col[k] = compress.compress_stream(
-                v, compress.resolve_stream_codec(codec, kind, k))
+                v, compress.resolve_stream_codec(codec, kind, k, enc))
 
 
 def _unwrap_codec(col: dict, codec: str, kind: str) -> dict:
     out = dict(col)
+    enc = col.get("kind") if kind == "str" else None
     for k in _WRAP_KEYS:
         v = out.get(k)
         if isinstance(v, bytes) and v:
             out[k] = compress.decompress_stream(
-                v, compress.resolve_stream_codec(codec, kind, k))
+                v, compress.resolve_stream_codec(codec, kind, k, enc))
     return out
 
 
@@ -350,11 +369,12 @@ def encode_block(batch: pa.RecordBatch, part_id: int = 0,
                   "vmin": int(vals.min()) if vals.size else 0,
                   "vmax": int(vals.max()) if vals.size else 0,
                   "vsum": int(vals.sum()) if vals.size else 0}
-    # blob layout v2: u32 llen | lstream | u32 nlchunks | u32 ldlen |
-    # ldir | u32 nvchunks | u32 vdlen | vdir | vstream
+    # blob layout v3: u8 version | u32 llen | lstream | u32 nlchunks |
+    # u32 ldlen | ldir | u32 nvchunks | u32 vdlen | vdir | vstream
     lb = lstream.tobytes()
     tokens_col["data"] = (
-        np.uint32(len(lb)).tobytes() + lb
+        bytes([TOKENS_BLOB_VERSION])
+        + np.uint32(len(lb)).tobytes() + lb
         + np.uint32(len(lsizes)).tobytes()
         + np.uint32(len(ldir)).tobytes() + ldir
         + np.uint32(len(vsizes)).tobytes()
@@ -503,7 +523,8 @@ def decode_block(row: dict, columns=None) -> pa.RecordBatch:
             compress.resolve_stream_codec(codec, "int", "data")) \
             if codec != "none" else compress.RawReader(tok["data"])
         fetch = reader.fetch
-        p = 0
+        _check_blob_version(fetch(0, 1)[0])
+        p = 1
 
         def u32() -> int:
             nonlocal p
@@ -619,7 +640,8 @@ def decode_block_rows(row: dict, r0: int, r1: int, columns=None
         tok["data"], compress.resolve_stream_codec(codec, "int", "data")) \
         if codec != "none" else compress.RawReader(tok["data"])
     fetch = reader.fetch
-    pos = 0
+    _check_blob_version(fetch(0, 1)[0])
+    pos = 1
 
     def u32() -> int:
         nonlocal pos

@@ -52,13 +52,22 @@ except ImportError:
     HAVE_ZSTD = False
 
 
-def resolve_stream_codec(codec: str, kind: str, key: str) -> str:
+def resolve_stream_codec(codec: str, kind: str, key: str,
+                         enc: str | None = None) -> str:
     """Per-stream codec for the ``mixed`` profile (the default): string
-    DATA / DICTIONARY_DATA streams take lzma1 (best ratio, tiny share
-    of block bytes, negligible decode cost), every other stream takes
+    DATA / DICTIONARY_DATA streams take lzma1, every other stream takes
     zlib5 — or zstd for everything when the library is present. The
-    mapping is a pure function of (profile, column kind, stream key),
-    so readers resolve it without extra metadata."""
+    mapping is a pure function of (profile, column kind, stream key,
+    string encoding kind ``enc``), so readers resolve it without extra
+    metadata.
+
+    Measured (r3, interleaved A/B on F-MAIN 200k rows): remapping the
+    FSST code / dict index streams to zlib5 — the r2 verdict's 1-core
+    decode hypothesis — is 3% SLOWER to decode and +0.03 bits/token;
+    lzma1 inflate of those entropy-reduced streams is not the decode
+    bottleneck (the RLEv2 bit-unpack walk is, see BENCH.md). The
+    lzma1 mapping stays.
+    """
     if codec != "mixed":
         return codec
     if HAVE_ZSTD:
@@ -173,5 +182,16 @@ def decompress_stream(buf, codec: str = "zlib") -> bytes:
         length = header >> 1
         body = raw[pos: pos + length]
         pos += length
-        out += body if (header & 1) else decomp(body)
+        if header & 1:
+            out += body
+        else:
+            try:
+                out += decomp(body)
+            except Exception as e:
+                raise ValueError(
+                    f"stream inflate failed with codec {codec!r}: "
+                    f"{e} — if this block was written by an older "
+                    "engine revision (pre-v3 'mixed' stream mapping), "
+                    "decode it with that revision or re-encode the "
+                    "table") from e
     return bytes(out)

@@ -681,11 +681,17 @@ def _group_walk(bufarr: np.ndarray, gsizes: np.ndarray
 
 
 def group_chunks(sizes: np.ndarray, counts: np.ndarray,
-                 max_chunks: int = 256, max_values: int = 8192
+                 max_chunks: int = 64, max_values: int = 8192
                  ) -> tuple[np.ndarray, np.ndarray]:
     """Aggregate per-chunk directory entries into group entries
     (summed bytes, summed values). Caps bound both the walk iteration
-    count (max_chunks) and the seek granularity (max_values)."""
+    count (max_chunks) and the seek granularity (max_values).
+
+    max_chunks=64 (was 256): _group_walk costs one vectorized batch
+    per iteration and iterations = max chunks in any group, so
+    small-run streams (the LENGTH stream) dominated decode setup at
+    256. Interleaved A/B on F-MAIN: 64 decodes ~8% faster for +0.018
+    bits/token of directory."""
     sizes = np.asarray(sizes, dtype=np.int64)
     counts = np.asarray(counts, dtype=np.int64)
     n = sizes.size

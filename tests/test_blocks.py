@@ -380,3 +380,17 @@ def test_point_lookup_composes_bloom_seek_projection(codec):
     # token-stream bytes
     rb2, touched2 = block_point_lookup(row, ["no-such-doc-id"])
     assert rb2 is None and touched2 == 0
+
+
+def test_tokens_blob_version_marker():
+    # format-version guard (r2 ADVICE #5): a mismatched blob fails
+    # with a descriptive error, not an opaque KeyError
+    from engine.blocks import TOKENS_BLOB_VERSION
+    tbl = token_table(100).combine_chunks()
+    row = encode_block(tbl.to_batches()[0])
+    assert row["tokens"]["data"][0] == TOKENS_BLOB_VERSION
+    bad = dict(row)
+    bad["tokens"] = dict(row["tokens"])
+    bad["tokens"]["data"] = bytes([99]) + row["tokens"]["data"][1:]
+    with pytest.raises(ValueError, match="format version 99"):
+        decode_block(bad)
