@@ -204,11 +204,40 @@ def encode_table(spark: SparkSession, df: DataFrame, out_path: str,
         # within each slab (input scan order, NOT lexicographic
         # doc_id — ids may group by source prefix) is what the codec
         # needs
+        n_slabs = num_partitions * 8
         ordered = df.withColumn("_ord", F.monotonically_increasing_id())
-        bounds = plan_input_ranges(ordered, num_partitions * 8)
-        barr = F.array(*[F.lit(int(b)) for b in bounds])
-        salted = ordered.withColumn(
-            "pid", F.size(F.filter(barr, lambda b: b <= F.col("_ord"))))
+        bounds = plan_input_ranges(ordered, n_slabs)
+        if len(bounds) < n_slabs - 1:
+            # tiny/skewed sample: fewer boundaries than requested is
+            # fine (slabs merge) but must not pass silently, and an
+            # EMPTY boundary list would collapse every row into slab 0
+            import warnings
+            warnings.warn(
+                f"plan_input_ranges returned {len(bounds)} boundaries "
+                f"for {n_slabs} slabs"
+                + ("; falling back to round-robin slabs"
+                   if not bounds else ""))
+        if bounds:
+            # slab id by JVM-side binary search over the boundary
+            # splits (O(log n) per row) — a literal-array filter is
+            # O(n) per row and stops scaling past a few thousand
+            # slabs (r2 verdict #5). _ord fits a double exactly below
+            # 2^53 (monotonic ids reach that at ~2^20 scan
+            # partitions x 8B rows — far beyond this job's planning
+            # horizon).
+            from pyspark.ml.feature import Bucketizer
+            splits = [float("-inf")] + [float(b) for b in bounds] \
+                + [float("inf")]
+            buck = Bucketizer(splits=splits, inputCol="_ord_d",
+                              outputCol="_slab_d")
+            salted = (buck.transform(
+                ordered.withColumn("_ord_d",
+                                   F.col("_ord").cast("double")))
+                .withColumn("pid", F.col("_slab_d").cast("int"))
+                .drop("_ord_d", "_slab_d"))
+        else:
+            salted = ordered.withColumn(
+                "pid", F.pmod(F.col("_ord"), F.lit(n_slabs)).cast("int"))
         parted = (salted.repartition(num_partitions, "pid")
                   .sortWithinPartitions("pid", "_ord"))
     else:

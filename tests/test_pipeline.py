@@ -160,3 +160,39 @@ def test_doc_range_strategy_bit_identity_and_balance(spark, token_parquet,
     ids2 = sorted(r["block_id"] for r in
                   read_blocks(spark, out2).select("block_id").collect())
     assert ids1 == ids2
+
+
+def test_doc_range_degenerate_bounds_fallback(spark, tmp_path):
+    # ADVICE r2 #4: a tiny input can yield no boundaries at all; the
+    # encode must warn and fall back to round-robin slabs instead of
+    # silently collapsing everything into slab 0
+    import warnings
+
+    rows = [(f"d{i}", [1, 2, 3], 3, "s") for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    out = str(tmp_path / "blocks_tiny")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = encode_table(spark, df, out, num_partitions=2, block_rows=10,
+                         strategy="doc_range")
+    assert m["n_rows"] == 3
+    assert any("boundaries" in str(x.message) for x in w)
+    dec = decode_table(spark, out)
+    assert verify_identity(df, dec)["identical"]
+
+
+def test_doc_range_empty_input(spark, tmp_path):
+    # empty-bounds fallback (round-robin) + a zero-row encode must
+    # complete with zeroed metrics, not crash
+    import warnings
+
+    df = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string")
+    out = str(tmp_path / "blocks_empty")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = encode_table(spark, df, out, num_partitions=2,
+                         strategy="doc_range")
+    assert m["n_rows"] == 0 and m["n_parts"] == 0
+    assert any("round-robin" in str(x.message) for x in w)
