@@ -418,6 +418,32 @@ def _q_binary_roundtrip(spark, sf_dir):
     return docs.mapInArrow(kernel, "doc_id string, payload string")
 
 
+def _q_map_roundtrip(spark, sf_dir):
+    """T6 MAP codec: a derived variable-size map<string,bigint> column
+    through the LENGTH + key/value child stream decomposition
+    (engine/maps.py, javap/MapTreeWriter.txt:3-6), then exploded to
+    entries so the ANSI oracle needs no map support."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        from engine.maps import decode_map, encode_map
+        for b in batches:
+            m = b.column("m")
+            back = decode_map(encode_map(m), len(m))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), back], names=["doc_id", "m"])
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.map_from_arrays(
+            F.expr("transform(sequence(0, n_chars % 3), "
+                   "i -> concat('k', i))"),
+            F.expr("transform(sequence(0, n_chars % 3), "
+                   "i -> CAST(n_chars * (i + 1) AS BIGINT))")).alias("m"))
+    dec = docs.mapInArrow(kernel, "doc_id string, m map<string,bigint>")
+    return dec.select("doc_id", F.explode("m").alias("key", "value"))
+
+
 def _q_bloom_check(spark, sf_dir):
     """M3 bloom filters: every block's own doc_ids must test positive
     against the block's serialized bloom (no false negatives), checked
@@ -709,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimal64_roundtrip": _q_decimal64_roundtrip,    # T2 (fast path)
         "decimal128_roundtrip": _q_decimal128_roundtrip,  # T2 (big-int)
         "binary_roundtrip": _q_binary_roundtrip,          # T5
+        "map_roundtrip": _q_map_roundtrip,                # T6 (MAP)
         "union_roundtrip": _q_union_roundtrip,            # T8
         # compression wrapper
         "wrapped_roundtrip": _q_wrapped_roundtrip,        # C1
@@ -805,6 +832,12 @@ def oracle_sql() -> dict[str, str]:
         "binary_roundtrip":
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "substr(text, 1, 50) AS payload FROM documents",
+        "map_roundtrip": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   concat('k', CAST(i AS VARCHAR)) AS key,
+                   CAST(n_chars * (i + 1) AS BIGINT) AS value
+            FROM documents CROSS JOIN range(0, 3) r(i)
+            WHERE i <= n_chars % 3""",
         "union_roundtrip":
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(n_chars % 2 AS INTEGER) AS tag, "

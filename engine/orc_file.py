@@ -125,6 +125,19 @@ def _encode_column(arr: pa.Array) -> _Col:
         child = _encode_column(vals.flatten())
         return _Col(K_LIST, streams, ENC_DIRECT_V2, subtypes=[child],
                     n_values=nv, has_null=hn)
+    if pa.types.is_map(t):
+        # MAP = LENGTH + key/value child writers
+        # (javap/MapTreeWriter.txt:3-6). A sliced MapArray exposes the
+        # FULL child arrays with window-absolute offsets — slice the
+        # children to the window explicitly.
+        off = np.asarray(vals.offsets, dtype=np.int64)
+        lens = np.diff(off)
+        streams.append((LENGTH, rle2.encode_rlev2(
+            lens, signed=False).tobytes()))
+        kcol = _encode_column(vals.keys.slice(off[0], off[-1] - off[0]))
+        vcol = _encode_column(vals.items.slice(off[0], off[-1] - off[0]))
+        return _Col(K_MAP, streams, ENC_DIRECT_V2, subtypes=[kcol, vcol],
+                    n_values=nv, has_null=hn)
     if t in _INT_KINDS:
         v = np.asarray(vals, dtype=np.int64)
         streams.append((DATA, rle2.encode_rlev2(v, signed=True).tobytes()))
