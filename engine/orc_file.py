@@ -102,7 +102,7 @@ class _Col:
         self.has_null = has_null
 
 
-def _encode_column(arr: pa.Array) -> _Col:
+def _encode_column(arr: pa.Array, ts_conv: str = "cpp") -> _Col:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
@@ -112,7 +112,7 @@ def _encode_column(arr: pa.Array) -> _Col:
     hn = pres is not None
 
     if pa.types.is_struct(t):
-        children = [_encode_column(arr.field(i))
+        children = [_encode_column(arr.field(i), ts_conv)
                     for i in range(t.num_fields)]
         return _Col(K_STRUCT, streams, ENC_DIRECT, subtypes=children,
                     field_names=[t.field(i).name
@@ -122,7 +122,7 @@ def _encode_column(arr: pa.Array) -> _Col:
         lens = np.diff(np.asarray(vals.offsets, dtype=np.int64))
         streams.append((LENGTH, rle2.encode_rlev2(
             lens, signed=False).tobytes()))
-        child = _encode_column(vals.flatten())
+        child = _encode_column(vals.flatten(), ts_conv)
         return _Col(K_LIST, streams, ENC_DIRECT_V2, subtypes=[child],
                     n_values=nv, has_null=hn)
     if pa.types.is_map(t):
@@ -134,8 +134,10 @@ def _encode_column(arr: pa.Array) -> _Col:
         lens = np.diff(off)
         streams.append((LENGTH, rle2.encode_rlev2(
             lens, signed=False).tobytes()))
-        kcol = _encode_column(vals.keys.slice(off[0], off[-1] - off[0]))
-        vcol = _encode_column(vals.items.slice(off[0], off[-1] - off[0]))
+        kcol = _encode_column(
+            vals.keys.slice(off[0], off[-1] - off[0]), ts_conv)
+        vcol = _encode_column(
+            vals.items.slice(off[0], off[-1] - off[0]), ts_conv)
         return _Col(K_MAP, streams, ENC_DIRECT_V2, subtypes=[kcol, vcol],
                     n_values=nv, has_null=hn)
     if t in _INT_KINDS:
@@ -157,7 +159,7 @@ def _encode_column(arr: pa.Array) -> _Col:
     if pa.types.is_timestamp(t):
         ns = np.asarray(vals.cast(pa.timestamp("ns")).cast(pa.int64()),
                         dtype=np.int64)
-        data, sec = T.encode_timestamp(ns)
+        data, sec = T.encode_timestamp(ns, convention=ts_conv)
         streams.append((DATA, data.tobytes()))
         streams.append((SECONDARY, sec.tobytes()))
         return _Col(K_TIMESTAMP, streams, ENC_DIRECT_V2,
@@ -220,9 +222,17 @@ def _type_tree(cols: list[_Col]) -> bytes:
 
 
 def write_orc(table: pa.Table, path: str,
-              stripe_rows: int = 1_000_000) -> None:
+              stripe_rows: int = 1_000_000,
+              timestamp_convention: str = "cpp") -> None:
     """Write ``table`` as an uncompressed ORC v1 file readable by ORC
-    C++ / orc-core (verified via pyarrow.orc in tests)."""
+    C++ / orc-core (verified via pyarrow.orc in tests).
+
+    ``timestamp_convention``: pre-1970 sub-second layout — "cpp"
+    (default, ORC C++ signed nanos) or "java" (orc-core positive
+    nanos + seconds fix-up, the ORC-611 divergence); pick "java" for
+    files that orc-core/Spark must read with pre-1970 instants
+    (engine/types.py encode_timestamp).
+    """
     table = table.combine_chunks()
     out = bytearray(MAGIC)
     stripes_pb = b""
@@ -244,7 +254,7 @@ def write_orc(table: pa.Table, path: str,
         root = _encode_column(pa.StructArray.from_arrays(
             [chunk.column(i).combine_chunks()
              for i in range(chunk.num_columns)],
-            names=chunk.column_names))
+            names=chunk.column_names), timestamp_convention)
         cols: list[_Col] = []
         _flatten(root, cols)
         if not agg_nvals:

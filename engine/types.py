@@ -44,24 +44,41 @@ def decode_date(buf, n: int) -> np.ndarray:
 # --- T3: timestamp — DATA seconds from 2015 epoch (signed RLEv2) +
 #     SECONDARY nanos with trailing-zero count packed in low 3 bits -------
 
-def encode_timestamp(epoch_nanos) -> tuple[np.ndarray, np.ndarray]:
+def encode_timestamp(epoch_nanos, convention: str = "cpp"
+                     ) -> tuple[np.ndarray, np.ndarray]:
     """int64 UTC nanos-since-1970 -> (DATA, SECONDARY) streams.
 
-    Pre-1970 convention (ORC C++, verified against pyarrow-written
-    stream bytes): seconds truncate TOWARD ZERO and the sub-second
-    part is a SIGNED nano count in (-1e9, 1e9) carried two's-complement
-    through the nominally-unsigned SECONDARY stream — e.g. -2.5s is
-    (secs=-2, nanos=-5e8 -> (-5<<3)|7 = -33). This is lossless for
-    every instant (no ambiguous second). Note the known ORC Java/C++
-    divergence here (ORC-611): Java stores positive nanos with a
-    reader-side ``secs -= 1`` fix-up and mis-reads C++ pre-1970
-    sub-second values; we follow C++, our only testable reference
-    writer.
+    Pre-1970 ``convention="cpp"`` (default; verified against
+    pyarrow-written stream bytes): seconds truncate TOWARD ZERO and the
+    sub-second part is a SIGNED nano count in (-1e9, 1e9) carried
+    two's-complement through the nominally-unsigned SECONDARY stream —
+    e.g. -2.5s is (secs=-2, nanos=-5e8 -> (-5<<3)|7 = -33). This is
+    lossless for every instant (no ambiguous second).
+
+    ``convention="java"`` writes the orc-core layout (the ORC-611
+    divergence), byte-verified against spark.write.orc streams in
+    tests/test_types.py: nanos are always POSITIVE in [0, 1e9)
+    (floor-mod) and seconds come from the java.sql.Timestamp
+    millisecond path — ``trunc(floor(t / 1ms) / 1000)``. The matching
+    decoder applies orc-core's ``seconds -= 1`` fix-up when seconds
+    < 0 and the nanos carry a millisecond part. Both conventions
+    round-trip exactly through their own decoder EXCEPT java for
+    instants in (-1s, 0) whose sub-second has a nonzero millisecond
+    part: those collide with their positive counterpart ((0, N) pairs)
+    and read back positive — orc-core itself loses them identically
+    (verified: -1us -> +999999us through spark.write.orc +
+    spark.read.orc), so byte-compatibility demands reproducing the
+    loss, not fixing it.
     """
     t = np.asarray(epoch_nanos, dtype=np.int64)
-    # trunc toward zero (C++ integer division), not floor
-    secs = np.sign(t) * (np.abs(t) // 1_000_000_000)
-    nanos = t - secs * 1_000_000_000  # same sign as t
+    if convention == "java":
+        ms = np.floor_divide(t, 1_000_000)
+        secs = np.sign(ms) * (np.abs(ms) // 1000)  # trunc toward zero
+        nanos = t - np.floor_divide(t, 1_000_000_000) * 1_000_000_000
+    else:
+        # trunc toward zero (C++ integer division), not floor
+        secs = np.sign(t) * (np.abs(t) // 1_000_000_000)
+        nanos = t - secs * 1_000_000_000  # same sign as t
     data = rle2.encode_rlev2(secs - BASE_TIMESTAMP_EPOCH, signed=True)
     # strip 2..8 trailing decimal zeros; the low 3 bits store
     # (count - 1), so code 0 unambiguously means "nothing stripped"
@@ -79,12 +96,18 @@ def encode_timestamp(epoch_nanos) -> tuple[np.ndarray, np.ndarray]:
     return data, secondary
 
 
-def decode_timestamp(data, secondary, n: int) -> np.ndarray:
+def decode_timestamp(data, secondary, n: int,
+                     convention: str = "cpp") -> np.ndarray:
     secs = rle2.decode_rlev2(data, n, signed=True) + BASE_TIMESTAMP_EPOCH
     enc = rle2.decode_rlev2(secondary, n, signed=False)
     zeros = (enc & 7).astype(np.int64)          # two's-complement & : 0..7
     vals = (enc >> 3).astype(np.int64)          # arithmetic shift: signed
     nanos = vals * np.power(10, np.where(zeros > 0, zeros + 1, 0))
+    if convention == "java":
+        # orc-core reader fix-up (ORC-611): negative seconds with a
+        # millisecond part in the nanos stored seconds one too high
+        secs = np.where((secs < 0) & (nanos // 1_000_000 > 0),
+                        secs - 1, secs)
     return secs * 1_000_000_000 + nanos
 
 

@@ -151,3 +151,87 @@ def test_char_pad_and_varchar_truncate():
     enc = T.encode_char(data, lens, width=4, pad=False)
     out = T.decode_char(enc, 4)
     assert out.to_pylist() == ["a", "abcd", "", "abc"]
+
+
+def test_timestamp_java_convention_roundtrip():
+    # orc-core layout (ORC-611 divergence): round-trips exactly through
+    # the matching decoder EXCEPT instants in (-1s, 0) whose sub-second
+    # has a nonzero millisecond part — orc-core itself reads those back
+    # positive (collision with the (0, N) pair); byte-compat means
+    # reproducing that loss faithfully.
+    secs = RNG.integers(-3_000_000_000, 3_000_000_000, 1500)
+    nanos = np.concatenate([
+        RNG.integers(0, 10 ** 9, 500),
+        RNG.integers(0, 10 ** 6, 500) * 1000,
+        np.zeros(500, dtype=np.int64)])
+    t = secs * 1_000_000_000 + nanos
+    t = np.append(t, [0, 1, -1_000_000_000, -2_500_000_000,
+                      -999_999_000,  # (-1s,0) with ms part == 0: exact
+                      1_500_000_000])
+    data, sec = T.encode_timestamp(t, convention="java")
+    got = T.decode_timestamp(data, sec, t.size, convention="java")
+    garbled = (t < 0) & (t > -10 ** 9) & ((t % 10 ** 9) // 10 ** 6 > 0)
+    assert np.array_equal(got[~garbled], t[~garbled])
+    # the garbled interval reads back as the positive counterpart —
+    # exactly what orc-core does
+    assert np.array_equal(got[garbled], t[garbled] % 10 ** 9)
+    # the documented example: -1us -> +999999us
+    d2, s2 = T.encode_timestamp(np.array([-1000]), convention="java")
+    assert T.decode_timestamp(d2, s2, 1, convention="java")[0] \
+        == 999_999_000
+
+
+def test_timestamp_java_matches_orc_core_streams(spark):
+    # byte-level pin: engine java-convention streams == orc-core
+    # (spark.write.orc) streams for the same instants, and the engine
+    # decoder reproduces what spark.read.orc returns
+    import glob
+    import sys
+    import tempfile
+
+    sys.path.insert(0, "tests")
+    from orc_tail import parse_orc
+    us = [999_999, -1, 1, -999, -500_000, 500_000, -1_000_000,
+          -2_500_000, -999_999, -86_400_000_001, 0]
+    df = spark.createDataFrame([(u,) for u in us], "us long").selectExpr(
+        "us", "CAST(timestampadd(MICROSECOND, us, "
+        "TIMESTAMP '1970-01-01 00:00:00Z') AS TIMESTAMP) AS ts")
+    out = tempfile.mkdtemp(prefix="sparkorc_")
+    df.coalesce(1).write.mode("overwrite") \
+      .option("compression", "none").orc(out)
+    f = glob.glob(f"{out}/part-*.orc")[0]
+    s = parse_orc(f)[0]
+    n = s["n_rows"]
+    t = np.array(us, dtype=np.int64) * 1000
+    data, sec = T.encode_timestamp(t, convention="java")
+    assert data.tobytes() == bytes(s["streams"][(2, "DATA")])
+    assert sec.tobytes() == bytes(s["streams"][(2, "SECONDARY")])
+    dec = T.decode_timestamp(s["streams"][(2, "DATA")],
+                             s["streams"][(2, "SECONDARY")], n,
+                             convention="java")
+    got = {r["us"]: r["u"] for r in spark.read.orc(out).selectExpr(
+        "us", "timestampdiff(MICROSECOND, "
+        "TIMESTAMP '1970-01-01 00:00:00Z', ts) AS u").collect()}
+    assert dec.tolist() == [got[u] * 1000 for u in us]
+
+
+def test_timestamp_java_file_read_by_orc_java(spark):
+    # engine-written java-convention file: orc-core (Spark) reads
+    # pre-1970 sub-second instants exactly (outside the java-garbled
+    # (-1s, 0) ms interval) — the interop gap the cpp convention
+    # leaves open by design; default convention unchanged
+    import tempfile
+
+    from engine.orc_file import write_orc
+    us = np.array([-2_500_000, -86_400_000_001, -999_999,
+                   1_500_000, 0, -123_456_789_123_456], dtype=np.int64)
+    t = pa.table({
+        "i": pa.array(np.arange(us.size, dtype=np.int64)),
+        "ts": pa.array(us * 1000).cast(pa.timestamp("ns"))})
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, timestamp_convention="java")
+    got = (spark.read.orc(f).orderBy("i")
+           .selectExpr("timestampdiff(MICROSECOND, "
+                       "TIMESTAMP '1970-01-01 00:00:00Z', ts) AS us")
+           .collect())
+    assert [r["us"] for r in got] == us.tolist()
