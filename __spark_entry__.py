@@ -667,6 +667,29 @@ def _q_lineage_stats(spark, sf_dir):
         rows, "part_id int, n_rows bigint, n_values bigint")
 
 
+def _q_streaming_roundtrip(spark, sf_dir):
+    """Structured Streaming surface (jobs/streaming.py): the derived
+    token table arrives as parquet files through a file-source
+    readStream (availableNow trigger), micro-batches encode via
+    foreachBatch into the blocks table with epoch-scoped part ids,
+    and the decoded output must be bit-identical to the input — the
+    same value-hash oracle as the batch flagship, proving the
+    streaming path end-to-end."""
+    import tempfile
+    from jobs.decode import decode_table
+    from jobs.streaming import start_streaming_encode
+    base = tempfile.mkdtemp(prefix="stream_rt_")
+    _token_df(spark, sf_dir).write.parquet(f"{base}/in")
+    q = start_streaming_encode(spark, f"{base}/in", f"{base}/blocks",
+                               f"{base}/ckpt", trigger_once=True)
+    q.awaitTermination(300)
+    dec = decode_table(spark, f"{base}/blocks")
+    return dec.select(
+        "doc_id", "n_tok",
+        F.aggregate("tokens", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("tok_sum"))
+
+
 def _q_block_stats(spark, sf_dir):
     """Footer-style metadata only — no decode: global stats read from
     block columns (M1 column statistics)."""
@@ -741,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wrapped_roundtrip": _q_wrapped_roundtrip,        # C1
         # real ORC v1 file emission, read back by orc-core Java
         "orc_file_roundtrip": _q_orc_file_roundtrip,      # M4
+        # Structured Streaming encode surface (jobs/streaming.py)
+        "streaming_roundtrip": _q_streaming_roundtrip,
         # decode-side column pruning
         "decode_projection": _q_decode_projection,        # M6
         # §2.6 dataflow operators: skew partition planning + lineage
@@ -850,6 +875,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
             FROM documents""",
         "orc_file_roundtrip": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok,
+                   CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
+            FROM documents""",
+        "streaming_roundtrip": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok,
                    CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
