@@ -667,6 +667,30 @@ def _q_lineage_stats(spark, sf_dir):
         rows, "part_id int, n_rows bigint, n_values bigint")
 
 
+def _q_point_lookup(spark, sf_dir):
+    """Point-lookup path (jobs/decode.py block_point_lookup): encode
+    the derived table into a real blocks table, then look up a
+    deterministic id set through the composed bloom -> doc_id
+    projection -> chunk-directory seek path; values must match the
+    identity oracle restricted to the same ids."""
+    import tempfile
+    from jobs.decode import lookup_doc_ids
+    from jobs.encode import encode_table
+    tok = _token_df(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="ptlkp_") + "/blocks"
+    encode_table(spark, tok, out, num_partitions=4, resume=False,
+                 codec="mixed")
+    ids = [r["doc_id"] for r in _docs(spark, sf_dir)
+           .where(F.col("n_chars") % 499 == 7)
+           .select(F.col("doc_id").cast("string").alias("doc_id"))
+           .collect()]
+    got = lookup_doc_ids(spark, out, ids)
+    return got.select(
+        "doc_id", "n_tok",
+        F.aggregate("tokens", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("tok_sum"))
+
+
 def _q_streaming_roundtrip(spark, sf_dir):
     """Structured Streaming surface (jobs/streaming.py): the derived
     token table arrives as parquet files through a file-source
@@ -766,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_file_roundtrip": _q_orc_file_roundtrip,      # M4
         # Structured Streaming encode surface (jobs/streaming.py)
         "streaming_roundtrip": _q_streaming_roundtrip,
+        # bloom -> projection -> seek point lookups (M3 composition)
+        "point_lookup": _q_point_lookup,
         # decode-side column pruning
         "decode_projection": _q_decode_projection,        # M6
         # §2.6 dataflow operators: skew partition planning + lineage
@@ -884,6 +910,11 @@ def oracle_sql() -> dict[str, str]:
                    {_SQL_NTOK} AS n_tok,
                    CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
             FROM documents""",
+        "point_lookup": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok,
+                   CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
+            FROM documents WHERE n_chars % 499 = 7""",
         "decode_projection": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok
