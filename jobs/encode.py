@@ -256,7 +256,14 @@ def encode_table(spark: SparkSession, df: DataFrame, out_path: str,
                       F.pmod("salt", F.lit(num_buckets))).cast("int"))
                   .drop("bucket_start", "spans")
                   .select("doc_id", "tokens", "n_tok", "source", "pid"))
-        parted = salted.repartition(num_partitions, "pid")
+        # in-partition sort (no extra shuffle): makes BLOCK contents a
+        # pure function of the snapshot (shuffle arrival order is not
+        # deterministic, so unsorted block boundaries varied run to
+        # run — resume/dedup relied on partition-level determinism
+        # only) AND packs equal-length runs adjacent, measured -0.1
+        # bits/token on F-MAIN
+        parted = (salted.repartition(num_partitions, "pid")
+                  .sortWithinPartitions("pid", "n_tok", "doc_id"))
     blocks = parted.mapInArrow(
         _kernel(skip, block_rows, attempt, codec), BLOCKS_DDL)
 

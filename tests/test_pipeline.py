@@ -196,3 +196,24 @@ def test_doc_range_empty_input(spark, tmp_path):
                          strategy="doc_range")
     assert m["n_rows"] == 0 and m["n_parts"] == 0
     assert any("round-robin" in str(x.message) for x in w)
+
+
+def test_ntok_range_block_determinism(spark, token_parquet, tmp_path):
+    # with the in-partition sort, ntok_range block CONTENTS (ids and
+    # payload bytes) are a pure function of the snapshot — two encodes
+    # into fresh dirs must produce identical block rows
+    df = spark.read.parquet(token_parquet)
+    outs = [str(tmp_path / f"blocks_det{i}") for i in (1, 2)]
+    for out in outs:
+        encode_table(spark, df, out, num_partitions=4, block_rows=500,
+                     strategy="ntok_range")
+    rows = []
+    from pyspark.sql import functions as F
+    for out in outs:
+        rows.append(sorted(
+            (r["block_id"], r["h"]) for r in read_blocks(spark, out)
+            .select("block_id",
+                    F.xxhash64("tokens.data", "doc_id.data",
+                               "n_rows", "n_values").alias("h"))
+            .collect()))
+    assert rows[0] == rows[1]
