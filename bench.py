@@ -226,8 +226,12 @@ def main():
     n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3"))
     thr: dict[int, list[float]] = {small: [], big: []}
     pair_eff: list[float] = []
-    for _ in range(n_pairs):
-        for c in (small, big):
+    for i in range(n_pairs):
+        # alternate leg order per pair: monotonic host drift then
+        # biases alternate pairs in opposite directions and cancels
+        # in the median instead of crediting one leg systematically
+        legs = (small, big) if i % 2 == 0 else (big, small)
+        for c in legs:
             rr = run_pipeline(c, srows, verify=False, rounds=1)
             thr[c].append(rr["n_values"]
                           / (rr["encode_s"] + rr["decode_s"]))
