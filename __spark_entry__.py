@@ -667,6 +667,27 @@ def _q_lineage_stats(spark, sf_dir):
         rows, "part_id int, n_rows bigint, n_values bigint")
 
 
+def _q_verify_report(spark, sf_dir):
+    """§2.6 verify operator, driver-checked: encode the derived table
+    with the REAL pipeline, decode it, and return the bit-identity
+    report (jobs.decode.verify_identity — two exceptAll hash shuffles,
+    no wide join). The oracle states what a lossless engine must
+    report: rows_in == rows_out == COUNT(*), zero missing, zero
+    extra."""
+    import tempfile
+    from jobs.decode import decode_table, verify_identity
+    from jobs.encode import encode_table
+    tok = _token_df(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="verify_rep_") + "/blocks"
+    encode_table(spark, tok, out, num_partitions=4, resume=False,
+                 codec="mixed")
+    rep = verify_identity(tok, decode_table(spark, out))
+    return spark.createDataFrame(
+        [(rep["rows_in"], rep["rows_out"], rep["missing"],
+          rep["extra"])],
+        "rows_in bigint, rows_out bigint, missing bigint, extra bigint")
+
+
 def _q_point_lookup(spark, sf_dir):
     """Point-lookup path (jobs/decode.py block_point_lookup): encode
     the derived table into a real blocks table, then look up a
@@ -792,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_roundtrip": _q_streaming_roundtrip,
         # bloom -> projection -> seek point lookups (M3 composition)
         "point_lookup": _q_point_lookup,
+        # §2.6 verify operator: bit-identity report of the real job
+        "verify_report": _q_verify_report,
         # decode-side column pruning
         "decode_projection": _q_decode_projection,        # M6
         # §2.6 dataflow operators: skew partition planning + lineage
@@ -915,6 +938,12 @@ def oracle_sql() -> dict[str, str]:
                    {_SQL_NTOK} AS n_tok,
                    CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
             FROM documents WHERE n_chars % 499 = 7""",
+        "verify_report": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+                   CAST(COUNT(*) AS BIGINT) AS rows_out,
+                   CAST(0 AS BIGINT) AS missing,
+                   CAST(0 AS BIGINT) AS extra
+            FROM documents""",
         "decode_projection": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok
