@@ -15,6 +15,8 @@ Then run against any cluster master:
         verify --input <parquet> --blocks <blocks-table>
     spark-submit --py-files dist/engine.zip jobs/submit.py \
         synth --output <parquet> --rows 1000000
+    spark-submit --py-files dist/engine.zip jobs/submit.py \
+        export-orc --input <parquet> --output <orc-dir>
 
 The zip contains the ``engine``, ``jobs`` and ``pipeline`` packages —
 no data, no state; executors import kernels from it.
@@ -73,6 +75,14 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--input", required=True)
     sv.add_argument("--blocks", required=True)
 
+    so = sub.add_parser("export-orc")
+    so.add_argument("--input", required=True)
+    so.add_argument("--output", required=True)
+    so.add_argument("--partitions", type=int, default=None)
+    so.add_argument("--stripe-rows", type=int, default=1_000_000)
+    so.add_argument("--timestamp-convention", default="cpp",
+                    choices=["cpp", "java"])
+
     ss = sub.add_parser("synth")
     ss.add_argument("--output", required=True)
     ss.add_argument("--rows", type=int, default=100_000)
@@ -109,6 +119,22 @@ def main(argv: list[str] | None = None) -> int:
                               decode_table(spark, a.blocks))
         print(json.dumps(rep))
         return 0 if rep["identical"] else 1
+
+    if a.cmd == "export-orc":
+        # distributed spec-conformant .orc emission: one part-file per
+        # partition (jobs/orc_write.py); readable by ORC C++/orc-core
+        spark = _spark("orc-format-spark-export-orc")
+        from jobs.orc_write import write_orc_dir
+        df = spark.read.parquet(a.input)
+        if a.partitions:
+            df = df.repartition(a.partitions)
+        manifest = write_orc_dir(
+            df, a.output, stripe_rows=a.stripe_rows,
+            timestamp_convention=a.timestamp_convention).collect()
+        print(json.dumps({"files": len(manifest),
+                          "rows": sum(m["n_rows"] for m in manifest),
+                          "bytes": sum(m["n_bytes"] for m in manifest)}))
+        return 0
 
     if a.cmd == "synth":
         spark = _spark("orc-format-spark-synth")

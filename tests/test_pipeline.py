@@ -217,3 +217,20 @@ def test_ntok_range_block_determinism(spark, token_parquet, tmp_path):
                                "n_rows", "n_values").alias("h"))
             .collect()))
     assert rows[0] == rows[1]
+
+
+def test_submit_export_orc(spark, token_parquet, tmp_path):
+    # export-orc CLI: distributed .orc emission end to end
+    import glob
+
+    import pyarrow.orc as orc
+
+    from jobs.submit import main as submit_main
+    out = str(tmp_path / "orcdir")
+    rc = submit_main(["export-orc", "--input", token_parquet,
+                      "--output", out, "--partitions", "3"])
+    assert rc == 0
+    files = glob.glob(out + "/part-*.orc")
+    assert len(files) == 3
+    assert sum(orc.read_table(f).num_rows for f in files) == 4000
+    assert spark.read.orc(out).count() == 4000
