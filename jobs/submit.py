@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
     sd = sub.add_parser("decode")
     sd.add_argument("--blocks", required=True)
     sd.add_argument("--output", required=True)
+    sd.add_argument("--columns", default=None,
+                    help="comma-separated projection (decode-side "
+                         "column pruning)")
+    sd.add_argument("--ntok-min", type=int, default=None)
+    sd.add_argument("--ntok-max", type=int, default=None)
+    sd.add_argument("--tok-min", type=int, default=None)
+    sd.add_argument("--tok-max", type=int, default=None)
 
     sv = sub.add_parser("verify")
     sv.add_argument("--input", required=True)
@@ -107,8 +114,11 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "decode":
         spark = _spark("orc-format-spark-decode")
         from jobs.decode import decode_table
-        decode_table(spark, a.blocks).write.mode("overwrite") \
-            .parquet(a.output)
+        cols = a.columns.split(",") if a.columns else None
+        decode_table(spark, a.blocks, columns=cols,
+                     ntok_min=a.ntok_min, ntok_max=a.ntok_max,
+                     tok_min=a.tok_min, tok_max=a.tok_max) \
+            .write.mode("overwrite").parquet(a.output)
         print(json.dumps({"ok": True, "output": a.output}))
         return 0
 

@@ -234,3 +234,22 @@ def test_submit_export_orc(spark, token_parquet, tmp_path):
     assert len(files) == 3
     assert sum(orc.read_table(f).num_rows for f in files) == 4000
     assert spark.read.orc(out).count() == 4000
+
+
+def test_submit_decode_selective(spark, token_parquet, tmp_path):
+    # decode CLI with projection + stride predicates
+    from jobs.submit import main as submit_main
+    blocks = str(tmp_path / "b")
+    encode_table(spark, spark.read.parquet(token_parquet), blocks,
+                 num_partitions=2, block_rows=500)
+    out = str(tmp_path / "dec")
+    rc = submit_main(["decode", "--blocks", blocks, "--output", out,
+                      "--columns", "doc_id,n_tok", "--ntok-min", "10"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "n_tok"}
+    # superset-of-matching semantics: every matching row present
+    from pyspark.sql import functions as F
+    want = (spark.read.parquet(token_parquet)
+            .where(F.col("n_tok") >= 10).count())
+    assert got.where(F.col("n_tok") >= 10).count() == want
