@@ -98,3 +98,43 @@ def test_fsst_roundtrip_property(strs):
     ddata, dlens = decode_fsst(codes, clens, table)
     assert np.array_equal(dlens, lens)
     assert ddata.tobytes() == data.tobytes()
+
+
+_map_entry = st.tuples(
+    st.text(alphabet=st.characters(min_codepoint=32,
+                                   max_codepoint=0x2FF),
+            min_size=0, max_size=12),
+    st.one_of(st.none(),
+              st.integers(-2 ** 62, 2 ** 62)))
+_map_row = st.one_of(
+    st.none(),
+    st.lists(_map_entry, min_size=0, max_size=6,
+             unique_by=lambda e: e[0]))
+
+
+@given(st.lists(_map_row, min_size=0, max_size=60))
+@settings(deadline=None, max_examples=60)
+def test_map_codec_roundtrip_property(rows):
+    import pyarrow as pa
+
+    from engine.maps import MAP_TYPE, decode_map, encode_map
+    arr = pa.array(rows, type=MAP_TYPE)
+    back = decode_map(encode_map(arr), len(arr))
+    assert back.to_pylist() == arr.to_pylist()
+
+
+@given(st.lists(st.integers(-2 ** 52, 2 ** 52), min_size=0,
+                max_size=300))
+@settings(deadline=None, max_examples=80)
+def test_timestamp_java_roundtrip_property(ns_list):
+    import numpy as np
+
+    from engine import types as T
+    t = np.array(ns_list, dtype=np.int64)
+    data, sec = T.encode_timestamp(t, convention="java")
+    got = T.decode_timestamp(data, sec, t.size, convention="java")
+    # exact except the java-garbled interval: (-1s, 0) with a nonzero
+    # millisecond part reads back as the positive counterpart
+    garbled = (t < 0) & (t > -10 ** 9) & ((t % 10 ** 9) // 10 ** 6 > 0)
+    assert np.array_equal(got[~garbled], t[~garbled])
+    assert np.array_equal(got[garbled], t[garbled] % 10 ** 9)
