@@ -611,6 +611,29 @@ def _q_orc_file_roundtrip(spark, sf_dir):
                     lambda a, x: a + x).alias("tok_sum"))
 
 
+def _q_orc_read_distributed(spark, sf_dir):
+    """M6 as a *file* surface, the read twin of orc_file_roundtrip:
+    orc-core Java (spark.write.orc) writes the token table as an ORC
+    directory, and THIS engine's distributed reader (jobs/orc_read.py
+    — tail-only planning, stripe-range byte reads, engine codecs in a
+    mapInArrow kernel) reads it back; matching the oracle proves the
+    engine decodes Java-written files bit-identically, with no
+    driver-side funnel in either direction. (Local-mode path
+    contract as jobs/orc_write.py.)"""
+    import tempfile
+
+    from jobs.orc_read import read_orc_dir
+
+    tok = _token_df(spark, sf_dir).repartition(4)
+    out = tempfile.mkdtemp(prefix="orc_ingest_")
+    tok.write.mode("overwrite").orc(out)
+    dec = read_orc_dir(spark, out)
+    return dec.select(
+        "doc_id", "n_tok",
+        F.aggregate("tokens", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("tok_sum"))
+
+
 def _q_skew_spread(spark, sf_dir):
     """§2.6 skew partition planning, fully oracle-checked: the
     token-weighted range-bucket map (jobs.encode.plan_partitions,
@@ -809,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wrapped_roundtrip": _q_wrapped_roundtrip,        # C1
         # real ORC v1 file emission, read back by orc-core Java
         "orc_file_roundtrip": _q_orc_file_roundtrip,      # M4
+        # distributed ingestion of Java-written ORC via engine codecs
+        "orc_read_distributed": _q_orc_read_distributed,  # M6 (files)
         # Structured Streaming encode surface (jobs/streaming.py)
         "streaming_roundtrip": _q_streaming_roundtrip,
         # bloom -> projection -> seek point lookups (M3 composition)
@@ -924,6 +949,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
             FROM documents""",
         "orc_file_roundtrip": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok,
+                   CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
+            FROM documents""",
+        "orc_read_distributed": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok,
                    CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum

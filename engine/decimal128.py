@@ -128,3 +128,37 @@ def decode_decimal128(enc: dict, n: int):
     if enc.get("secondary") is not None:
         scales = rle2.decode_rlev2(enc["secondary"], n, signed=True)
     return lo, hi, scales
+
+
+def rescale_limbs(lo: np.ndarray, hi: np.ndarray,
+                  diff: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Multiply two's-complement (lo, hi) 128-bit values by 10**diff,
+    vectorized — the read-side fix-up for orc-core's per-value minimal
+    scales (HiveDecimal strips trailing zeros and records each value's
+    own scale in SECONDARY; readers rescale to the declared type
+    scale). diff >= 0 per value; exact because the rescaled value fits
+    the declared precision (< 10^38 < 2^127), so mod-2^128 limb
+    arithmetic cannot lose high bits.
+    """
+    lo = np.ascontiguousarray(lo, dtype=np.uint64).copy()
+    hi64 = np.ascontiguousarray(hi).view(np.uint64).copy()
+    diff = np.asarray(diff, dtype=np.int64)
+    if diff.size and diff.min() < 0:
+        raise ValueError("stream scale exceeds the declared type scale")
+    rem = diff.copy()
+    m32 = np.uint64(0xFFFFFFFF)
+    while (rem > 0).any():
+        step = np.minimum(rem, 9)           # 10**9 < 2**32 per round
+        m = np.power(10, step.astype(np.uint64), dtype=np.uint64)
+        sel = rem > 0
+        a = lo & m32
+        b = lo >> np.uint64(32)
+        p0 = a * m
+        p1 = b * m
+        new_lo = p0 + ((p1 & m32) << np.uint64(32))
+        carry = (new_lo < p0).astype(np.uint64)
+        new_hi = hi64 * m + (p1 >> np.uint64(32)) + carry
+        lo = np.where(sel, new_lo, lo)
+        hi64 = np.where(sel, new_hi, hi64)
+        rem -= step
+    return lo, hi64.view(np.int64)

@@ -1,0 +1,555 @@
+"""ORC v1 file READER (SURVEY.md M6 as a *file-level* surface): parse
+PostScript -> Footer -> StripeFooter with the same hand-rolled protobuf
+walker style as the writer (engine/orc_file.py) and decode every stream
+with this engine's vectorized codecs — so files written by ORC C++
+(pyarrow.orc), orc-core Java (spark.write.orc), or this engine's own
+writer all come back as Arrow tables.
+
+Message/field numbers from the runtime proto descriptor
+(reference-extract/orc_proto_descriptor.txt): PostScript footerLength=1
+compression=2 compressionBlockSize=3 metadataLength=5; Footer stripes=3
+types=4 numberOfRows=6 rowIndexStride=8 writer=9; Type kind=1
+subtypes=2 fieldNames=3 maximumLength=4 precision=5 scale=6;
+StripeInformation offset=1 indexLength=2 dataLength=3 footerLength=4
+numberOfRows=5; StripeFooter streams=1 columns=2 writerTimezone=3;
+Stream kind=1 column=2 length=3; ColumnEncoding kind=1
+dictionarySize=2.
+
+Compression: the whole tail (footer, stripe footers) and every stream
+are chunk-framed with the 3-byte ``(len << 1) | isOriginal`` headers
+(the same framing as engine/compress.py's C1 wrapper). Chunk codecs:
+NONE, ZLIB (raw deflate), SNAPPY (block format, embedded length
+varint), ZSTD (frames, streamed via pyarrow) — the set Spark/pyarrow
+actually emit. LZO/LZ4/BROTLI raise a descriptive error.
+
+Timestamps: the pre-1970 sub-second convention differs between ORC
+C++ and orc-core Java (ORC-611, engine/types.py). The reader keys the
+convention off ``Footer.writer`` (1 = ORC_CPP -> "cpp", everything
+else -> "java", which is also the proto default orc-core writes);
+``convention=`` overrides. Non-UTC ``writerTimezone`` stripes raise
+(this sandbox and Spark-on-UTC never produce them).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from . import decimal128 as d128
+from . import rle1, rle2, types as T
+from ._util import cumsum0
+from .strings import strings_from_bytes
+
+# CompressionKind
+COMP_NONE, COMP_ZLIB, COMP_SNAPPY, COMP_LZO, COMP_LZ4, COMP_ZSTD, \
+    COMP_BROTLI = range(7)
+# Stream.Kind
+PRESENT, DATA, LENGTH, DICTIONARY_DATA, DICTIONARY_COUNT, SECONDARY, \
+    ROW_INDEX, BLOOM_FILTER, BLOOM_FILTER_UTF8 = range(9)
+# ColumnEncoding.Kind
+ENC_DIRECT, ENC_DICTIONARY, ENC_DIRECT_V2, ENC_DICTIONARY_V2 = range(4)
+# Type.Kind
+(K_BOOLEAN, K_BYTE, K_SHORT, K_INT, K_LONG, K_FLOAT, K_DOUBLE, K_STRING,
+ K_BINARY, K_TIMESTAMP, K_LIST, K_MAP, K_STRUCT, K_UNION, K_DECIMAL,
+ K_DATE, K_VARCHAR, K_CHAR, K_TIMESTAMP_INSTANT) = range(19)
+
+_INDEX_KINDS = {ROW_INDEX, BLOOM_FILTER, BLOOM_FILTER_UTF8}
+
+
+# --- protobuf wire-format walker ------------------------------------------
+
+def _varint(b, p: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        x = b[p]
+        p += 1
+        result |= (x & 0x7F) << shift
+        if not (x & 0x80):
+            return result, p
+        shift += 7
+
+
+def _fields(b):
+    p = 0
+    n = len(b)
+    while p < n:
+        key, p = _varint(b, p)
+        fno, wt = key >> 3, key & 7
+        if wt == 0:
+            v, p = _varint(b, p)
+        elif wt == 2:
+            ln, p = _varint(b, p)
+            v = b[p: p + ln]
+            p += ln
+        elif wt == 5:
+            v = b[p: p + 4]
+            p += 4
+        elif wt == 1:
+            v = b[p: p + 8]
+            p += 8
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+        yield fno, wt, v
+
+
+def _packed_varints(v) -> list[int]:
+    out = []
+    p = 0
+    while p < len(v):
+        x, p = _varint(v, p)
+        out.append(x)
+    return out
+
+
+# --- chunk deframing -------------------------------------------------------
+
+def _chunk_decomp(comp_kind: int):
+    """Per-chunk decompressor for a CompressionKind."""
+    if comp_kind == COMP_ZLIB:
+        return lambda b: zlib.decompress(bytes(b), -15)  # raw deflate
+    if comp_kind == COMP_SNAPPY:
+        codec = pa.Codec("snappy")
+
+        def snappy(b):
+            # snappy block format embeds the uncompressed length varint
+            n, _ = _varint(b, 0)
+            out = codec.decompress(bytes(b), n)
+            return out if isinstance(out, bytes) else out.to_pybytes()
+        return snappy
+    if comp_kind == COMP_ZSTD:
+        def zstd(b):
+            stream = pa.input_stream(pa.BufferReader(bytes(b)),
+                                     compression="zstd")
+            return stream.read()
+        return zstd
+    raise NotImplementedError(
+        f"ORC compression kind {comp_kind} (LZO/LZ4/BROTLI) is not "
+        "supported by this reader; rewrite the file with "
+        "zlib/snappy/zstd/none")
+
+
+def _deframe(buf, comp_kind: int) -> bytes:
+    """Inflate a chunk-framed region (footer or stream) fully."""
+    if comp_kind == COMP_NONE or len(buf) == 0:
+        return bytes(buf)
+    decomp = _chunk_decomp(comp_kind)
+    out = bytearray()
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        header = int.from_bytes(buf[pos: pos + 3], "little")
+        pos += 3
+        length = header >> 1
+        body = buf[pos: pos + length]
+        pos += length
+        out += body if header & 1 else decomp(body)
+    return bytes(out)
+
+
+# --- tail parsing ----------------------------------------------------------
+
+class _TypeNode:
+    __slots__ = ("kind", "subtypes", "field_names", "max_length",
+                 "precision", "scale")
+
+    def __init__(self):
+        self.kind = 0
+        self.subtypes: list[int] = []
+        self.field_names: list[str] = []
+        self.max_length = 0
+        self.precision = 0
+        self.scale = 0
+
+
+class OrcFileInfo:
+    """Parsed tail: types, stripes, writer, compression."""
+
+    def __init__(self, data):
+        self.data = data
+        ps_len = data[-1]
+        ps = data[-1 - ps_len: -1]
+        footer_len = 0
+        self.compression = COMP_NONE
+        self.block_size = 256 * 1024
+        metadata_len = 0
+        for fno, _, v in _fields(ps):
+            if fno == 1:
+                footer_len = v
+            elif fno == 2:
+                self.compression = v
+            elif fno == 3:
+                self.block_size = v
+            elif fno == 5:
+                metadata_len = v
+        del metadata_len
+        raw_footer = data[-1 - ps_len - footer_len: -1 - ps_len]
+        footer = _deframe(raw_footer, self.compression)
+        self.num_rows = 0
+        self.writer = 0  # proto default = ORC_JAVA
+        self.types: list[_TypeNode] = []
+        self.stripes: list[dict] = []
+        for fno, wt, v in _fields(footer):
+            if fno == 3:  # StripeInformation
+                si = {1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
+                for f2, _, v2 in _fields(v):
+                    si[f2] = v2
+                self.stripes.append(si)
+            elif fno == 4:  # Type
+                t = _TypeNode()
+                for f2, w2, v2 in _fields(v):
+                    if f2 == 1:
+                        t.kind = v2
+                    elif f2 == 2:
+                        # repeated uint32: unpacked (proto2 default) or
+                        # packed (wire type 2) depending on the writer
+                        if w2 == 2:
+                            t.subtypes.extend(_packed_varints(v2))
+                        else:
+                            t.subtypes.append(v2)
+                    elif f2 == 3:
+                        t.field_names.append(v2.decode())
+                    elif f2 == 4:
+                        t.max_length = v2
+                    elif f2 == 5:
+                        t.precision = v2
+                    elif f2 == 6:
+                        t.scale = v2
+                self.types.append(t)
+            elif fno == 6:
+                self.num_rows = v
+            elif fno == 9:
+                self.writer = v
+
+    def arrow_type(self, col: int) -> pa.DataType:
+        t = self.types[col]
+        k = t.kind
+        if k == K_STRUCT:
+            return pa.struct([(name, self.arrow_type(sub)) for name, sub
+                              in zip(t.field_names, t.subtypes)])
+        if k == K_LIST:
+            return pa.large_list(self.arrow_type(t.subtypes[0]))
+        if k == K_MAP:
+            return pa.map_(self.arrow_type(t.subtypes[0]),
+                           self.arrow_type(t.subtypes[1]))
+        simple = {K_BOOLEAN: pa.bool_(), K_BYTE: pa.int8(),
+                  K_SHORT: pa.int16(), K_INT: pa.int32(),
+                  K_LONG: pa.int64(), K_FLOAT: pa.float32(),
+                  K_DOUBLE: pa.float64(), K_STRING: pa.large_utf8(),
+                  K_VARCHAR: pa.large_utf8(), K_CHAR: pa.large_utf8(),
+                  K_BINARY: pa.large_binary(), K_DATE: pa.date32(),
+                  K_TIMESTAMP: pa.timestamp("ns"),
+                  K_TIMESTAMP_INSTANT: pa.timestamp("ns", tz="UTC")}
+        if k in simple:
+            return simple[k]
+        if k == K_DECIMAL:
+            return pa.decimal128(t.precision or 38, t.scale)
+        raise NotImplementedError(f"ORC type kind {k} (UNION?) is not "
+                                  "readable by this reader")
+
+    def schema(self) -> pa.Schema:
+        root = self.types[0]
+        if root.kind != K_STRUCT:
+            raise ValueError("ORC root type must be a struct")
+        return pa.schema([(name, self.arrow_type(sub)) for name, sub
+                          in zip(root.field_names, root.subtypes)])
+
+
+def _stripe_streams(info: OrcFileInfo, si: dict):
+    """Parse one stripe's footer -> ({(col, kind): raw_slice}, encodings,
+    timezone). Slices are NOT decompressed yet — projection decides."""
+    off, ilen, dlen, flen = si[1], si[2], si[3], si[4]
+    sf = _deframe(info.data[off + ilen + dlen: off + ilen + dlen + flen],
+                  info.compression)
+    streams = []
+    encodings = []
+    tz = "UTC"
+    for fno, _, v in _fields(sf):
+        if fno == 1:
+            s = {1: 0, 2: 0, 3: 0}
+            for f2, _, v2 in _fields(v):
+                s[f2] = v2
+            streams.append((s[2], s[1], s[3]))
+        elif fno == 2:
+            kind = 0
+            dsz = 0
+            for f2, _, v2 in _fields(v):
+                if f2 == 1:
+                    kind = v2
+                elif f2 == 2:
+                    dsz = v2
+            encodings.append((kind, dsz))
+        elif fno == 3:
+            tz = v.decode()
+    smap = {}
+    pos = off
+    for scol, skind, slen in streams:
+        if skind not in _INDEX_KINDS:
+            smap[(scol, skind)] = info.data[pos: pos + slen]
+        pos += slen
+    return smap, encodings, tz
+
+
+# --- column decode ---------------------------------------------------------
+
+class _StripeDecoder:
+    def __init__(self, info: OrcFileInfo, si: dict, convention: str):
+        self.info = info
+        self.smap, self.encodings, tz = _stripe_streams(info, si)
+        if tz not in ("UTC", "GMT", "Etc/UTC", ""):
+            raise NotImplementedError(
+                f"stripe writerTimezone {tz!r}: only UTC-written files "
+                "are supported")
+        self.n_rows = si[5]
+        self.convention = convention
+
+    def stream(self, col: int, kind: int) -> bytes:
+        raw = self.smap.get((col, kind))
+        if raw is None:
+            return b""
+        return _deframe(raw, self.info.compression)
+
+    def _ints(self, col: int, kind: int, n: int, signed: bool):
+        """Integer-ish stream under the column's declared encoding."""
+        enc = self.encodings[col][0]
+        buf = self.stream(col, kind)
+        if enc in (ENC_DIRECT_V2, ENC_DICTIONARY_V2):
+            return rle2.decode_rlev2(buf, n, signed=signed)
+        return rle1.decode_rlev1(buf, n, signed=signed)
+
+    def decode(self, col: int, n: int) -> pa.Array:
+        t = self.info.types[col]
+        pres_raw = self.smap.get((col, PRESENT))
+        if pres_raw is not None:
+            valid = rle1.decode_bool(self.stream(col, PRESENT), n)
+            nn = int(valid.sum())
+        else:
+            valid = None
+            nn = n
+        vals = self._decode_values(col, t, nn)
+        if valid is None:
+            return vals
+        idx = np.cumsum(valid, dtype=np.int64) - 1
+        take = pa.array(idx, type=pa.int64(), mask=~valid)
+        return vals.take(take)
+
+    def _decode_values(self, col: int, t: _TypeNode, nn: int) -> pa.Array:
+        k = t.kind
+        if k == K_STRUCT:
+            children = [self.decode(sub, nn) for sub in t.subtypes]
+            if not children:
+                return pa.array([{}] * nn)
+            return pa.StructArray.from_arrays(children,
+                                              names=t.field_names)
+        if k in (K_LIST, K_MAP):
+            lens = self._ints(col, LENGTH, nn, signed=False)
+            offs = cumsum0(lens)
+            cn = int(offs[-1]) if nn else 0
+            if k == K_LIST:
+                child = self.decode(t.subtypes[0], cn)
+                return pa.LargeListArray.from_arrays(
+                    pa.array(offs, type=pa.int64()), child)
+            keys = self.decode(t.subtypes[0], cn)
+            items = self.decode(t.subtypes[1], cn)
+            return pa.MapArray.from_arrays(
+                pa.array(offs, type=pa.int32()), keys, items)
+        if k == K_BOOLEAN:
+            bits = rle1.decode_bool(self.stream(col, DATA), nn)
+            return pa.array(bits, type=pa.bool_())
+        if k == K_BYTE:
+            v = rle1.decode_byte_rle(self.stream(col, DATA), nn)
+            return pa.array(v.view(np.int8), type=pa.int8())
+        if k in (K_SHORT, K_INT, K_LONG):
+            v = self._ints(col, DATA, nn, signed=True)
+            at = {K_SHORT: pa.int16(), K_INT: pa.int32(),
+                  K_LONG: pa.int64()}[k]
+            return pa.array(v, type=pa.int64()).cast(at)
+        if k in (K_FLOAT, K_DOUBLE):
+            v = T.decode_floats(self.stream(col, DATA), nn,
+                                double=(k == K_DOUBLE))
+            return pa.array(v)
+        if k == K_DATE:
+            v = self._ints(col, DATA, nn, signed=True)
+            return pa.array(v.astype(np.int32)).cast(pa.date32())
+        if k in (K_TIMESTAMP, K_TIMESTAMP_INSTANT):
+            ns = T.decode_timestamp(self.stream(col, DATA),
+                                    self.stream(col, SECONDARY), nn,
+                                    convention=self.convention)
+            tz = "UTC" if k == K_TIMESTAMP_INSTANT else None
+            return pa.array(ns).cast(pa.timestamp("ns", tz=tz))
+        if k == K_DECIMAL:
+            lo, hi = d128.decode_unbounded_varints(
+                self.stream(col, DATA), nn)
+            # SECONDARY carries each value's OWN scale: orc-core's
+            # HiveDecimal strips trailing zeros (1.00 @ scale 2 is
+            # stored unscaled=1 scale=0), so rescale to the declared
+            # type scale; ORC C++ and this engine write scale ==
+            # declared for every value, making this a no-op there
+            scales = self._ints(col, SECONDARY, nn, signed=True)
+            diff = t.scale - scales
+            if nn and diff.any():
+                lo, hi = d128.rescale_limbs(lo, hi, diff)
+            raw = np.empty(2 * nn, dtype=np.uint64)
+            raw[0::2] = lo
+            raw[1::2] = hi.view(np.uint64) if hi.dtype != np.uint64 \
+                else hi
+            typ = pa.decimal128(t.precision or 38, t.scale)
+            return pa.Array.from_buffers(
+                typ, nn, [None, pa.py_buffer(raw.tobytes())])
+        if k in (K_STRING, K_VARCHAR, K_CHAR):
+            enc_kind = self.encodings[col][0]
+            if enc_kind in (ENC_DICTIONARY, ENC_DICTIONARY_V2):
+                dsz = self.encodings[col][1]
+                klens = self._ints(col, LENGTH, dsz, signed=False)
+                keys = strings_from_bytes(
+                    np.frombuffer(self.stream(col, DICTIONARY_DATA),
+                                  dtype=np.uint8), klens)
+                ids = self._ints(col, DATA, nn, signed=False)
+                return keys.take(pa.array(ids))
+            lens = self._ints(col, LENGTH, nn, signed=False)
+            data = np.frombuffer(self.stream(col, DATA), dtype=np.uint8)
+            return strings_from_bytes(data, lens)
+        if k == K_BINARY:
+            lens = self._ints(col, LENGTH, nn, signed=False)
+            data = np.frombuffer(self.stream(col, DATA), dtype=np.uint8)
+            offs = cumsum0(lens)
+            return pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), nn,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(data.tobytes())])
+        raise NotImplementedError(f"ORC type kind {k} is not readable")
+
+
+def _resolve_convention(info: OrcFileInfo, convention: str | None) -> str:
+    if convention is not None:
+        return convention
+    # Footer.writer: 1 = ORC_CPP (pyarrow / this engine's cpp mode);
+    # 0 = ORC_JAVA (orc-core, spark.write.orc) — the proto default, so
+    # absent == java. Only pre-1970 sub-second instants differ.
+    return "cpp" if info.writer == 1 else "java"
+
+
+def read_orc_info(path: str) -> OrcFileInfo:
+    with open(path, "rb") as f:
+        return OrcFileInfo(memoryview(f.read()))
+
+
+def read_orc_tail(path: str, probe: int = 64 * 1024) -> OrcFileInfo:
+    """Planning-only parse that reads JUST the file tail (PostScript +
+    Footer) — what a driver scheduling stripe splits over many files
+    needs; ~KBs per file instead of the whole object. The returned
+    info cannot decode streams (``tail_only``)."""
+    import os
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        k = min(size, probe)
+        f.seek(size - k)
+        tail = f.read(k)
+        ps_len = tail[-1]
+        footer_len = 0
+        for fno, _, v in _fields(tail[-1 - ps_len: -1]):
+            if fno == 1:
+                footer_len = v
+        need = 1 + ps_len + footer_len
+        if need > len(tail):
+            f.seek(size - need)
+            tail = f.read(need)
+    info = OrcFileInfo(memoryview(tail))
+    info.tail_only = True
+    return info
+
+
+class _ShiftedData:
+    """Expose a stripe's byte range as if it sat at its absolute file
+    offset — _StripeDecoder/_stripe_streams slice ``info.data`` with
+    absolute offsets, so a range-read stripe just shifts the base."""
+
+    __slots__ = ("buf", "base")
+
+    def __init__(self, buf, base: int):
+        self.buf = buf
+        self.base = base
+
+    def __getitem__(self, sl):
+        return self.buf[sl.start - self.base: sl.stop - self.base]
+
+
+def read_orc_stripes(path: str, stripe_indices: list[int],
+                     columns: list[str] | None = None,
+                     convention: str | None = None,
+                     info: OrcFileInfo | None = None) -> pa.Table:
+    """Range-read decode: touch ONLY the file tail (~KB, skipped when a
+    planning-time ``info`` is passed) plus the selected stripes' byte
+    ranges — the I/O shape a distributed reader task needs (a
+    100-stripe file split 100 ways costs each task 1/100th of the
+    bytes, not a whole-file read per task)."""
+    import copy
+    if info is None:
+        info = read_orc_tail(path)
+    conv = _resolve_convention(info, convention)
+    root = info.types[0]
+    names = root.field_names
+    if columns is None:
+        sel = list(range(len(names)))
+    else:
+        pos = {n: i for i, n in enumerate(names)}
+        missing = [c for c in columns if c not in pos]
+        if missing:
+            raise KeyError(f"columns not in ORC schema: {missing}")
+        sel = [pos[c] for c in columns]
+    schema = info.schema()
+    out_schema = pa.schema([schema.field(i) for i in sel])
+    batches = []
+    with open(path, "rb") as f:
+        for i in stripe_indices:
+            si = info.stripes[i]
+            off = si[1]
+            length = si[2] + si[3] + si[4]
+            f.seek(off)
+            win = copy.copy(info)
+            win.data = _ShiftedData(memoryview(f.read(length)), off)
+            dec = _StripeDecoder(win, si, conv)
+            arrays = [dec.decode(root.subtypes[j], dec.n_rows)
+                      for j in sel]
+            batches.append(pa.record_batch(arrays, schema=out_schema))
+    if not batches:
+        return out_schema.empty_table()
+    return pa.Table.from_batches(batches, schema=out_schema)
+
+
+def read_orc(path: str, columns: list[str] | None = None,
+             convention: str | None = None,
+             stripe_indices: list[int] | None = None) -> pa.Table:
+    """Read an ORC file into an Arrow table with this engine's decoders.
+
+    ``columns`` projects top-level fields (unprojected columns' streams
+    are never decompressed or decoded). ``stripe_indices`` restricts to
+    a subset of stripes — the split unit the distributed reader
+    (jobs/orc_read.py) parallelizes over.
+    """
+    info = read_orc_info(path)
+    conv = _resolve_convention(info, convention)
+    root = info.types[0]
+    names = root.field_names
+    if columns is None:
+        sel = list(range(len(names)))
+    else:
+        pos = {n: i for i, n in enumerate(names)}
+        missing = [c for c in columns if c not in pos]
+        if missing:
+            raise KeyError(f"columns not in ORC schema: {missing}")
+        sel = [pos[c] for c in columns]
+    schema = info.schema()
+    out_schema = pa.schema([schema.field(i) for i in sel])
+    stripes = info.stripes if stripe_indices is None else \
+        [info.stripes[i] for i in stripe_indices]
+    batches = []
+    for si in stripes:
+        dec = _StripeDecoder(info, si, conv)
+        arrays = [dec.decode(root.subtypes[i], dec.n_rows) for i in sel]
+        batches.append(pa.record_batch(arrays, schema=out_schema))
+    if not batches:
+        return out_schema.empty_table()
+    return pa.Table.from_batches(batches, schema=out_schema)

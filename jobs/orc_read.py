@@ -1,0 +1,126 @@
+"""Distributed ORC file ingestion (SURVEY.md §2.5 M6 as a *file*
+surface, the read twin of jobs/orc_write.py).
+
+Two-stage plan, nothing funnels through the driver:
+
+1. **Plan** — the file list is parallelized and each task range-reads
+   only the ~KB file tails (engine.orc_read.read_orc_tail), emitting
+   one split row per stripe ``(path, stripe, n_rows)``. The driver
+   opens exactly ONE tail, to learn the schema. At 100 TB this is the
+   shape that matters: a million-file listing costs the cluster a
+   million tail reads (KBs each), not a million whole-file reads, and
+   no per-file work happens on the driver.
+2. **Decode** — splits are spread round-robin across the target
+   parallelism; each task groups its splits by file and range-reads
+   just those stripes' bytes (engine.orc_read.read_orc_stripes), so a
+   file split 100 ways costs each task 1/100th of its bytes. Column
+   projection skips unprojected streams entirely (never inflated).
+
+The decoders are this engine's vectorized codecs, so files written by
+ORC C++ (pyarrow), orc-core Java (spark.write.orc), or
+jobs/orc_write.py all come back identically — cross-checked in
+tests/test_orc_read.py and the ``orc_read_distributed`` driver query.
+
+Path contract: files must be visible to every task (shared FS or
+local mode), same as jobs/orc_write.py; the object-store swap-in is
+the Hadoop FS API.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+
+from jobs.table_io import _require_local
+
+SPLIT_DDL = "path string, stripe bigint, n_rows bigint"
+
+
+def list_orc_files(path: str) -> list[str]:
+    """Deterministic file list for a directory, a glob, or one file."""
+    path = _require_local(path)
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.orc")))
+    found = sorted(glob.glob(path))
+    if not found:
+        raise FileNotFoundError(f"no ORC files match {path!r}")
+    return found
+
+
+def plan_orc_splits(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Stage 1: distributed tail reads -> one row per stripe. The
+    lazy result is safe to cache/checkpoint as a scan manifest."""
+    paths = spark.createDataFrame([(f,) for f in files], "path string")
+    n_plan = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+
+    def tails(batches):
+        import pyarrow as pa
+
+        from engine.orc_read import read_orc_tail
+        for batch in batches:
+            for p in batch.column("path").to_pylist():
+                info = read_orc_tail(p)
+                n = len(info.stripes)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([p] * n),
+                     pa.array(range(n), type=pa.int64()),
+                     pa.array([si[5] for si in info.stripes],
+                              type=pa.int64())],
+                    names=["path", "stripe", "n_rows"])
+
+    return paths.repartition(n_plan).mapInArrow(tails, SPLIT_DDL)
+
+
+def read_orc_dir(spark: SparkSession, path: str,
+                 columns: list[str] | None = None,
+                 convention: str | None = None,
+                 parallelism: int | None = None) -> DataFrame:
+    """Read a directory of ORC files as a DataFrame with this
+    engine's decoders. ``convention`` pins the pre-1970 timestamp
+    convention (default: keyed per file off ``Footer.writer``,
+    engine/orc_read.py). Schemas must agree across files (checked in
+    the decode tasks against the driver-probed first tail).
+    """
+    files = list_orc_files(path)
+    from engine.orc_read import read_orc_tail
+    arrow_schema = read_orc_tail(files[0]).schema()
+    if columns is not None:
+        missing = [c for c in columns if arrow_schema.get_field_index(c) < 0]
+        if missing:
+            raise KeyError(f"columns not in ORC schema: {missing}")
+        arrow_schema = pa.schema(
+            [arrow_schema.field(c) for c in columns])
+    # prefer_timestamp_ntz=False: Spark's own ORC reader maps the
+    # plain `timestamp` kind to TIMESTAMP (LTZ) — match it, so this
+    # reader is a drop-in for spark.read.orc on the same files
+    spark_schema = from_arrow_schema(arrow_schema,
+                                     prefer_timestamp_ntz=False)
+    # Spark's own arrow convention (us timestamps, utf8 not
+    # large_utf8) — the kernel casts each stripe batch into it
+    target = to_arrow_schema(spark_schema)
+    names = arrow_schema.names
+
+    splits = plan_orc_splits(spark, files)
+    n_dec = parallelism or spark.sparkContext.defaultParallelism
+
+    def decode(batches):
+        from engine.orc_read import read_orc_stripes, read_orc_tail
+        by_path: dict[str, list[int]] = {}
+        for batch in batches:
+            for row in batch.to_pylist():
+                by_path.setdefault(row["path"], []).append(row["stripe"])
+        for p, stripes in sorted(by_path.items()):
+            info = read_orc_tail(p)
+            got = info.types[0].field_names
+            if [c for c in names if c not in got]:
+                raise ValueError(
+                    f"{p}: ORC schema {got} lacks projected {names}")
+            tbl = read_orc_stripes(p, sorted(stripes), columns=names,
+                                   convention=convention, info=info)
+            yield from tbl.cast(target).to_batches()
+
+    return splits.repartition(n_dec).mapInArrow(decode, spark_schema)

@@ -1,0 +1,246 @@
+"""engine/orc_read.py + jobs/orc_read.py: the engine's own ORC file
+READER, cross-checked against files written by the two independent
+implementations — ORC C++ (pyarrow.orc) and orc-core Java
+(spark.write.orc) — plus this engine's writer (engine/orc_file.py)."""
+
+import decimal as pydec
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.orc as orc
+import pytest
+
+from engine.orc_file import write_orc
+from engine.orc_read import (read_orc, read_orc_stripes, read_orc_tail)
+from jobs.synth import token_table
+
+RNG = np.random.default_rng(23)
+
+
+def _mixed_table(n=3000, with_nulls=True):
+    mask = RNG.random(n) < 0.15 if with_nulls else np.zeros(n, bool)
+    ints = RNG.integers(-10 ** 12, 10 ** 12, n)
+    return pa.table({
+        "i64": pa.array(ints, type=pa.int64(), mask=mask),
+        "i32": pa.array(ints % 10 ** 6, type=pa.int32()),
+        "i16": pa.array(ints % 30000, type=pa.int16()),
+        "i8": pa.array(ints % 120, type=pa.int8()),
+        "b": pa.array(RNG.random(n) < 0.5, type=pa.bool_()),
+        "f32": pa.array(RNG.normal(size=n), type=pa.float32()),
+        "f64": pa.array(RNG.normal(size=n), type=pa.float64(),
+                        mask=mask),
+        "s_dict": pa.array([f"cat{int(i) % 40}" for i in ints]),
+        "s_direct": pa.array([f"id-{int(i)}" for i in ints],
+                             mask=mask),
+        "bin": pa.array([bytes([int(i) % 256] * (int(i) % 9))
+                         for i in ints], type=pa.binary()),
+        "d": pa.array((ints % 40000 - 10000).astype(np.int32),
+                      type=pa.date32()),
+        "ts": pa.array(ints * 1000, type=pa.timestamp("ns")),
+        "dec": pa.array([pydec.Decimal(int(v)).scaleb(-2)
+                         for v in ints % 10 ** 9],
+                        type=pa.decimal128(18, 2)),
+        "lst": pa.array([list(range(int(i) % 7)) for i in ints],
+                        type=pa.list_(pa.int32())),
+    })
+
+
+def _assert_tables_equal(got: pa.Table, want: pa.Table):
+    assert got.num_rows == want.num_rows
+    for name in want.column_names:
+        g = got.column(name).cast(want.column(name).type)
+        assert g.to_pylist() == want.column(name).to_pylist(), name
+
+
+@pytest.mark.parametrize("compression", ["uncompressed", "zlib",
+                                         "snappy", "zstd"])
+def test_reads_orc_cpp_files_all_codecs(compression):
+    t = _mixed_table()
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, compression=compression, stripe_size=64 * 1024)
+    _assert_tables_equal(read_orc(f), t)
+
+
+def test_reads_orc_cpp_dictionary_encoding():
+    t = pa.table({"s": pa.array([f"k{i % 9}" for i in range(5000)])})
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, dictionary_key_size_threshold=0.8)
+    _assert_tables_equal(read_orc(f), t)
+
+
+def test_reads_orc_cpp_map_column():
+    n = 1500
+    t = pa.table({
+        "m": pa.array([[(f"k{j}", int(i * j)) for j in range(int(i) % 5)]
+                       for i in range(n)],
+                      type=pa.map_(pa.string(), pa.int64())),
+        "id": pa.array(range(n), type=pa.int64()),
+    })
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, stripe_size=64 * 1024)
+    _assert_tables_equal(read_orc(f), t)
+
+
+def test_reads_own_writer_token_table():
+    t = token_table(4000)
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, stripe_rows=1111)
+    _assert_tables_equal(read_orc(f), t)
+
+
+def test_reads_pre1970_timestamps_cpp_convention():
+    ns = np.array([-1, -999, -10 ** 9 - 1, -123456789, 0, 1,
+                   10 ** 15, -10 ** 15], dtype=np.int64)
+    t = pa.table({"ts": pa.array(ns, type=pa.timestamp("ns"))})
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f)
+    back = read_orc(f)
+    assert back.column("ts").to_pylist() == t.column("ts").to_pylist()
+
+
+def test_projection_skips_unread_streams():
+    t = _mixed_table(1000)
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f)
+    got = read_orc(f, columns=["i64", "s_dict"])
+    assert got.column_names == ["i64", "s_dict"]
+    _assert_tables_equal(got, t.select(["i64", "s_dict"]))
+    with pytest.raises(KeyError):
+        read_orc(f, columns=["nope"])
+
+
+def test_stripe_range_read_matches_full_read():
+    t = _mixed_table(6000, with_nulls=False)
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, stripe_size=64 * 1024)
+    info = read_orc_tail(f)
+    assert len(info.stripes) > 2
+    full = read_orc(f)
+    parts = [read_orc_stripes(f, [i], info=info)
+             for i in range(len(info.stripes))]
+    _assert_tables_equal(pa.concat_tables(parts), full)
+    # tail-only planning never read the stripe bytes
+    assert getattr(info, "tail_only", False)
+
+
+def test_tail_probe_smaller_than_file():
+    t = _mixed_table(20000, with_nulls=False)
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, stripe_size=64 * 1024)
+    info = read_orc_tail(f, probe=4096)
+    assert info.num_rows == 20000
+    assert len(info.stripes) >= 1
+
+
+# --- orc-core Java (spark.write.orc) interop --------------------------
+
+
+@pytest.fixture(scope="module")
+def java_orc_dir(spark):
+    """A Spark-written (orc-core Java) ORC directory with the tricky
+    types: HiveDecimal minimal per-value scales, dict and direct
+    strings, lists, nulls, dates, pre-1970 LTZ timestamps."""
+    from pyspark.sql import functions as F
+    n = 4000
+    df = (spark.range(n)
+          .withColumn("doc_id", F.concat(F.lit("doc-"), F.col("id")))
+          .withColumn("cat", F.concat(F.lit("c"), F.col("id") % 7))
+          .withColumn("val", (F.col("id") * 7919 % 100000))
+          .withColumn("dec",
+                      (F.col("id") % 1000).cast("decimal(18,3)") * 100)
+          .withColumn("bigdec",
+                      (F.col("id").cast("decimal(38,10)") *
+                       F.lit(10 ** 12)))
+          .withColumn("frac", F.col("id") / 3.0)
+          .withColumn("d", F.date_add(F.lit("1990-01-01"),
+                                      (F.col("id") % 5000).cast("int")))
+          .withColumn("ts", F.timestamp_micros(
+              F.col("id") * 1000003 - 2 * 10 ** 9))
+          .withColumn("toks", F.sequence(
+              F.lit(0), (F.col("id") % 9).cast("int")))
+          .withColumn("maybe", F.when(F.col("id") % 5 != 0,
+                                      F.col("id")).cast("long")))
+    out = tempfile.mkdtemp(prefix="java_orc_")
+    df.repartition(3).write.mode("overwrite").orc(out)
+    files = sorted(os.path.join(out, p) for p in os.listdir(out)
+                   if p.endswith(".orc") or p.startswith("part-"))
+    return df, [p for p in files if not p.endswith(".crc")]
+
+
+def test_reads_java_written_files(spark, java_orc_dir):
+    """Parity vs orc-core's OWN reader (spark.read.orc) — the original
+    df is not the right truth because orc-core itself garbles sub-ms
+    instants in (-1s, 0) (ORC-611; engine/types.py): both readers must
+    agree on the bytes as written."""
+    df, files = java_orc_dir
+    got = pa.concat_tables(
+        [read_orc(f).cast(read_orc(files[0]).schema) for f in files])
+    want = spark.read.orc(os.path.dirname(files[0])).toArrow()
+    gs = got.sort_by("id")
+    ws = want.sort_by("id")
+    for name in ws.column_names:
+        assert gs.column(name).cast(ws.column(name).type).to_pylist() \
+            == ws.column(name).to_pylist(), name
+
+
+def test_java_decimal_minimal_scale_rescale(spark):
+    """orc-core writes HiveDecimal at each value's MINIMAL scale with
+    the true scale in SECONDARY (1.500 stored as 15, scale 1) — the
+    reader must rescale to the declared type scale."""
+    rows = [("1.500",), ("0.000",), ("-2.250",), ("123.456",),
+            ("1000.000",), ("-0.001",)]
+    df = spark.createDataFrame(rows, "s string") \
+        .selectExpr("CAST(s AS DECIMAL(20,3)) AS dec")
+    out = tempfile.mkdtemp(prefix="java_dec_")
+    df.coalesce(1).write.mode("overwrite").orc(out)
+    f = [os.path.join(out, p) for p in os.listdir(out)
+         if p.endswith(".orc") or
+         (p.startswith("part-") and not p.endswith(".crc"))][0]
+    got = sorted(str(v) for v in read_orc(f).column("dec").to_pylist())
+    want = sorted(r[0] for r in rows)
+    assert got == want
+
+
+def test_distributed_read_matches_spark_reader(spark, java_orc_dir):
+    from jobs.orc_read import read_orc_dir
+    df, files = java_orc_dir
+    out_dir = os.path.dirname(files[0])
+    mine = read_orc_dir(spark, out_dir)
+    theirs = spark.read.orc(out_dir)
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    a = mine.orderBy("id").toArrow()
+    b = theirs.select(*mine.columns).orderBy("id").toArrow()
+    assert a.equals(b)
+
+
+def test_distributed_read_projection_and_plan(spark, java_orc_dir):
+    from jobs.orc_read import plan_orc_splits, read_orc_dir
+    df, files = java_orc_dir
+    out_dir = os.path.dirname(files[0])
+    splits = plan_orc_splits(spark, files).collect()
+    assert {s["path"] for s in splits} == set(files)
+    assert sum(s["n_rows"] for s in splits) == df.count()
+    got = read_orc_dir(spark, out_dir, columns=["doc_id", "val"])
+    assert got.columns == ["doc_id", "val"]
+    assert got.count() == df.count()
+    assert got.agg({"val": "sum"}).collect()[0][0] == \
+        df.agg({"val": "sum"}).collect()[0][0]
+
+
+def test_distributed_read_of_own_writer(spark):
+    """write_orc_dir (engine writer) -> read_orc_dir (engine reader):
+    full distributed round-trip with neither side driver-funneled."""
+    from jobs.orc_read import read_orc_dir
+    from jobs.orc_write import write_orc_dir
+    t = token_table(3000)
+    src = spark.createDataFrame(t)
+    out = tempfile.mkdtemp(prefix="own_orc_")
+    write_orc_dir(src.repartition(3), out).collect()
+    back = read_orc_dir(spark, out)
+    assert back.count() == 3000
+    assert sorted(back.columns) == sorted(src.columns)
+    a = back.orderBy("doc_id").select("doc_id", "n_tok").toArrow()
+    b = src.orderBy("doc_id").select("doc_id", "n_tok").toArrow()
+    assert a.equals(b)
