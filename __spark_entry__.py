@@ -634,6 +634,30 @@ def _q_orc_read_distributed(spark, sf_dir):
                     lambda a, x: a + x).alias("tok_sum"))
 
 
+def _q_orc_pruned_scan(spark, sf_dir):
+    """File-level predicate pushdown, fully oracle-checked: the engine
+    writer emits per-stripe typed min/max statistics in the ORC
+    Metadata section (engine/orc_file.py), and the distributed reader
+    prunes non-matching stripes at PLANNING time from the ~KB file
+    tails alone (engine.orc_read.stripes_matching — zero stripe bytes
+    read for pruned stripes), then re-applies the predicate exactly.
+    Rows are range-partitioned and sorted on n_tok before writing so
+    stripes have tight ranges — the layout a real table would use for
+    this access path."""
+    import tempfile
+
+    from jobs.orc_read import read_orc_dir
+    from jobs.orc_write import write_orc_dir
+
+    tok = (_token_df(spark, sf_dir).repartitionByRange(4, "n_tok")
+           .sortWithinPartitions("n_tok"))
+    out = tempfile.mkdtemp(prefix="orc_pruned_")
+    write_orc_dir(tok, out, stripe_rows=64).collect()
+    dec = read_orc_dir(spark, out, columns=["doc_id", "n_tok"],
+                       filters=[("n_tok", ">=", 90)])
+    return dec.select("doc_id", "n_tok")
+
+
 def _q_skew_spread(spark, sf_dir):
     """§2.6 skew partition planning, fully oracle-checked: the
     token-weighted range-bucket map (jobs.encode.plan_partitions,
@@ -834,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_file_roundtrip": _q_orc_file_roundtrip,      # M4
         # distributed ingestion of Java-written ORC via engine codecs
         "orc_read_distributed": _q_orc_read_distributed,  # M6 (files)
+        # planning-time stripe pruning from Metadata statistics
+        "orc_pruned_scan": _q_orc_pruned_scan,            # M1+M6 (files)
         # Structured Streaming encode surface (jobs/streaming.py)
         "streaming_roundtrip": _q_streaming_roundtrip,
         # bloom -> projection -> seek point lookups (M3 composition)
@@ -958,6 +984,10 @@ def oracle_sql() -> dict[str, str]:
                    {_SQL_NTOK} AS n_tok,
                    CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
             FROM documents""",
+        "orc_pruned_scan": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok
+            FROM documents WHERE {_SQL_NTOK} >= 90""",
         "streaming_roundtrip": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok,

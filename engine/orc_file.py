@@ -7,7 +7,10 @@ descriptor, reference-extract/orc_proto_descriptor.txt):
 
     "ORC"                      3-byte header magic
     stripe*:  data streams ... StripeFooter(pb)
-    Footer(pb)  Metadata absent (metadata_length=0)
+    Metadata(pb)               per-stripe ColumnStatistics (min/max
+                               for int/double/string/date columns —
+                               the stripe-pruning surface)
+    Footer(pb)                 incl file-level aggregated statistics
     PostScript(pb)  +  1 trailing byte = len(PostScript)
 
 The protobuf layer is hand-rolled (varint / length-delimited only —
@@ -70,6 +73,54 @@ def pb_str(field: int, s: str) -> bytes:
     return pb_bytes(field, s.encode())
 
 
+def pb_svarint(field: int, val: int) -> bytes:
+    """TYPE_SINT: zigzag varint."""
+    v = int(val)
+    # Python's arithmetic shift keeps the sign for arbitrary
+    # magnitude: v >> 63 is 0 for v >= 0 and -1 (all ones) otherwise
+    return _uv((field << 3) | 0) + _uv((v << 1) ^ (v >> 63))
+
+
+def pb_double(field: int, x: float) -> bytes:
+    import struct
+    return _uv((field << 3) | 1) + struct.pack("<d", float(x))
+
+
+# ColumnStatistics sub-message field per stat kind
+STAT_INT, STAT_DOUBLE, STAT_STRING, STAT_DATE = 2, 3, 4, 7
+
+
+def _stat_sub(stat) -> bytes:
+    """(field_no, min, max) -> typed min/max sub-message bytes."""
+    fno, mn, mx = stat
+    if fno == STAT_INT or fno == STAT_DATE:
+        body = pb_svarint(1, mn) + pb_svarint(2, mx)
+    elif fno == STAT_DOUBLE:
+        body = pb_double(1, mn) + pb_double(2, mx)
+    else:
+        body = pb_str(1, mn) + pb_str(2, mx)
+    return pb_bytes(fno, body)
+
+
+def _col_stats_pb(nv: int, has_null: bool, stat) -> bytes:
+    """One ColumnStatistics message (numberOfValues, typed min/max,
+    hasNull) — used identically for the Footer (file-level) and the
+    Metadata section (per-stripe)."""
+    body = pb_varint(1, nv)
+    if stat is not None:
+        body += _stat_sub(stat)
+    return body + pb_varint(10, 1 if has_null else 0)
+
+
+def _minmax(vals: pa.Array):
+    """(min, max) of a non-null arrow array, or None when empty."""
+    if len(vals) == 0:
+        return None
+    import pyarrow.compute as pc
+    mm = pc.min_max(vals)
+    return mm["min"].as_py(), mm["max"].as_py()
+
+
 # --- per-type column encoders ---------------------------------------------
 
 _INT_KINDS = {pa.int8(): K_BYTE, pa.int16(): K_SHORT,
@@ -89,7 +140,8 @@ class _Col:
     def __init__(self, kind: int, streams, encoding=ENC_DIRECT_V2,
                  dict_size: int = 0, subtypes=(), field_names=(),
                  precision: int = 0, scale: int = 0,
-                 n_values: int = 0, has_null: bool = False):
+                 n_values: int = 0, has_null: bool = False,
+                 stat=None):
         self.kind = kind
         self.streams = streams          # [(stream_kind, bytes), ...]
         self.encoding = encoding
@@ -100,6 +152,7 @@ class _Col:
         self.scale = scale
         self.n_values = n_values
         self.has_null = has_null
+        self.stat = stat            # (stat_field_no, min, max) | None
 
 
 def _encode_column(arr: pa.Array, ts_conv: str = "cpp") -> _Col:
@@ -143,19 +196,25 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp") -> _Col:
     if t in _INT_KINDS:
         v = np.asarray(vals, dtype=np.int64)
         streams.append((DATA, rle2.encode_rlev2(v, signed=True).tobytes()))
+        stat = (STAT_INT, int(v.min()), int(v.max())) if nv else None
         return _Col(_INT_KINDS[t], streams, ENC_DIRECT_V2,
-                    n_values=nv, has_null=hn)
+                    n_values=nv, has_null=hn, stat=stat)
     if pa.types.is_floating(t):
         double = t == pa.float64()
         v = np.asarray(vals, dtype=np.float64 if double else np.float32)
         streams.append((DATA, T.encode_floats(v, double=double).tobytes()))
+        # ORC writers omit double min/max when NaN is present
+        stat = None
+        if nv and not np.isnan(mn := float(v.min())):
+            stat = (STAT_DOUBLE, mn, float(v.max()))
         return _Col(K_DOUBLE if double else K_FLOAT, streams, ENC_DIRECT,
-                    n_values=nv, has_null=hn)
+                    n_values=nv, has_null=hn, stat=stat)
     if pa.types.is_date32(t):
         v = np.asarray(vals.cast(pa.int32()), dtype=np.int64)
         streams.append((DATA, T.encode_date(v).tobytes()))
+        stat = (STAT_DATE, int(v.min()), int(v.max())) if nv else None
         return _Col(K_DATE, streams, ENC_DIRECT_V2,
-                    n_values=nv, has_null=hn)
+                    n_values=nv, has_null=hn, stat=stat)
     if pa.types.is_timestamp(t):
         ns = np.asarray(vals.cast(pa.timestamp("ns")).cast(pa.int64()),
                         dtype=np.int64)
@@ -185,17 +244,21 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp") -> _Col:
                     n_values=nv, has_null=hn)
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         enc = strings.encode_strings(vals.cast(pa.large_string()))
+        stat = None
+        if nv:
+            mn, mx = _minmax(vals)
+            stat = (STAT_STRING, mn, mx)
         if enc["kind"] == "DICTIONARY_V2":
             streams.append((DATA, enc["data"].tobytes()))
             streams.append((LENGTH, enc["length"].tobytes()))
             streams.append((DICTIONARY_DATA, enc["dict_data"].tobytes()))
             return _Col(K_STRING, streams, ENC_DICTIONARY_V2,
                         dict_size=int(enc["dict_size"]),
-                        n_values=nv, has_null=hn)
+                        n_values=nv, has_null=hn, stat=stat)
         streams.append((DATA, enc["data"].tobytes()))
         streams.append((LENGTH, enc["length"].tobytes()))
         return _Col(K_STRING, streams, ENC_DIRECT_V2,
-                    n_values=nv, has_null=hn)
+                    n_values=nv, has_null=hn, stat=stat)
     raise NotImplementedError(f"ORC writer: unsupported type {t}")
 
 
@@ -246,6 +309,11 @@ def write_orc(table: pa.Table, path: str,
     # just the last stripe
     agg_nvals: list[int] = []
     agg_hasnull: list[bool] = []
+    agg_stat: list[tuple | None] = []
+    # Metadata section: one StripeStatistics (repeated ColumnStatistics,
+    # flattened pre-order) per stripe — what planning-time stripe
+    # pruning reads (engine.orc_read.stripes_matching)
+    metadata = b""
 
     for s0 in range(0, max(total_rows, 1), stripe_rows):
         chunk = table.slice(s0, stripe_rows)
@@ -260,9 +328,20 @@ def write_orc(table: pa.Table, path: str,
         if not agg_nvals:
             agg_nvals = [0] * len(cols)
             agg_hasnull = [False] * len(cols)
+            agg_stat = [None] * len(cols)
         for i, c in enumerate(cols):
             agg_nvals[i] += c.n_values
             agg_hasnull[i] = agg_hasnull[i] or c.has_null
+            if c.stat is not None:
+                if agg_stat[i] is None:
+                    agg_stat[i] = c.stat
+                else:
+                    fno, mn, mx = agg_stat[i]
+                    agg_stat[i] = (fno, min(mn, c.stat[1]),
+                                   max(mx, c.stat[2]))
+        metadata += pb_bytes(1, b"".join(
+            pb_bytes(1, _col_stats_pb(c.n_values, c.has_null, c.stat))
+            for c in cols))
         offset = len(out)
         sf = b""
         data_len = 0
@@ -287,17 +366,18 @@ def write_orc(table: pa.Table, path: str,
         n_stripes += 1
 
     content_len = len(out)
+    out += metadata
     footer = pb_varint(1, len(MAGIC)) + pb_varint(2, content_len) \
         + stripes_pb + _type_tree(stats_cols or []) \
         + pb_varint(6, total_rows)
-    for nv, hn in zip(agg_nvals, agg_hasnull):
-        footer += pb_bytes(7, pb_varint(1, nv)
-                           + pb_varint(10, 1 if hn else 0))
+    for nv, hn, st in zip(agg_nvals, agg_hasnull, agg_stat):
+        footer += pb_bytes(7, _col_stats_pb(nv, hn, st))
     footer += pb_varint(8, 0)  # row_index_stride=0: no ROW_INDEX streams
     out += footer
     ps = pb_varint(1, len(footer)) + pb_varint(2, 0) \
         + pb_varint(3, 64 * 1024) + pb_varint(4, 0) + pb_varint(4, 12) \
-        + pb_varint(5, 0) + pb_varint(6, 6) + pb_bytes(8000, MAGIC)
+        + pb_varint(5, len(metadata)) + pb_varint(6, 6) \
+        + pb_bytes(8000, MAGIC)
     out += ps
     out.append(len(ps))
     with open(path, "wb") as f:

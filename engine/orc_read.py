@@ -184,7 +184,13 @@ class OrcFileInfo:
                 self.block_size = v
             elif fno == 5:
                 metadata_len = v
-        del metadata_len
+        self.metadata_len = metadata_len
+        # Metadata (per-stripe ColumnStatistics) sits just before the
+        # Footer; keep the raw slice, parse lazily in stripe_stats()
+        self._meta_raw = data[-1 - ps_len - footer_len - metadata_len:
+                              -1 - ps_len - footer_len] \
+            if metadata_len else b""
+        self._stripe_stats = None
         raw_footer = data[-1 - ps_len - footer_len: -1 - ps_len]
         footer = _deframe(raw_footer, self.compression)
         self.num_rows = 0
@@ -255,6 +261,126 @@ class OrcFileInfo:
             raise ValueError("ORC root type must be a struct")
         return pa.schema([(name, self.arrow_type(sub)) for name, sub
                           in zip(root.field_names, root.subtypes)])
+
+    def stripe_stats(self) -> list[list[dict]] | None:
+        """Metadata section -> per-stripe, per-flattened-column stat
+        dicts {n, has_null, min, max} (min/max only when the writer
+        emitted a typed sub-message). None when the file has no
+        Metadata. Parsed lazily; the region is part of the tail, so
+        tail-only planning (read_orc_tail) can prune stripes without
+        touching any stripe bytes."""
+        if self._stripe_stats is None:
+            if not self.metadata_len:
+                return None
+            md = _deframe(self._meta_raw, self.compression)
+            out = []
+            for fno, _, v in _fields(md):
+                if fno != 1:        # StripeStatistics
+                    continue
+                cols = [_parse_col_stats(v2) for f2, _, v2 in _fields(v)
+                        if f2 == 1]
+                out.append(cols)
+            self._stripe_stats = out
+        return self._stripe_stats
+
+
+def _zz(u: int) -> int:
+    """Protobuf sint zigzag decode."""
+    return (u >> 1) ^ -(u & 1)
+
+
+def _parse_col_stats(v) -> dict:
+    """One ColumnStatistics message -> {n, has_null, min, max}."""
+    import struct
+    d = {"n": 0, "has_null": False}
+    for f2, w2, v2 in _fields(v):
+        if f2 == 1:
+            d["n"] = v2
+        elif f2 == 10:
+            d["has_null"] = bool(v2)
+        elif f2 == 2:       # IntegerStatistics (sint64)
+            for f3, _, v3 in _fields(v2):
+                if f3 == 1:
+                    d["min"] = _zz(v3)
+                elif f3 == 2:
+                    d["max"] = _zz(v3)
+        elif f2 == 3:       # DoubleStatistics (fixed64 double)
+            for f3, w3, v3 in _fields(v2):
+                if f3 in (1, 2) and w3 == 1:
+                    d["min" if f3 == 1 else "max"] = \
+                        struct.unpack("<d", v3)[0]
+        elif f2 == 4:       # StringStatistics
+            for f3, w3, v3 in _fields(v2):
+                if f3 in (1, 2) and w3 == 2:
+                    d["min" if f3 == 1 else "max"] = v3.decode()
+        elif f2 == 7:       # DateStatistics (sint32 days)
+            for f3, _, v3 in _fields(v2):
+                if f3 in (1, 2):
+                    d["min" if f3 == 1 else "max"] = _zz(v3)
+    return d
+
+
+def stripes_matching(info: OrcFileInfo,
+                     filters: list[tuple] | None) -> list[int]:
+    """Planning-time stripe pruning from per-stripe statistics.
+
+    ``filters``: [(column, op, literal)] conjunction with op in
+    {'<', '<=', '>', '>=', '=', '==', 'is_null', 'not_null'}; columns
+    are top-level fields. Returns the indices of stripes that MAY
+    contain a matching row (a superset — apply the exact filter
+    downstream). Conservative by construction: a stripe without
+    Metadata, without a typed min/max, or with a literal of a
+    different type is kept.
+    """
+    every = list(range(len(info.stripes)))
+    if not filters:
+        return every
+    stats = info.stripe_stats()
+    if not stats or len(stats) != len(info.stripes):
+        return every
+    root = info.types[0]
+    pos = {n: i for i, n in enumerate(root.field_names)}
+    keep = []
+    for s, cols in enumerate(stats):
+        ok = True
+        for name, op, val in filters:
+            if name not in pos:
+                raise KeyError(f"filter column {name!r} not in schema")
+            flat = root.subtypes[pos[name]]
+            st = cols[flat] if flat < len(cols) else {}
+            if op == "is_null":
+                if not st.get("has_null", True):
+                    ok = False
+            elif op == "not_null":
+                if st.get("n", 1) == 0:
+                    ok = False
+            else:
+                if st.get("n", 1) == 0:
+                    ok = False     # all null: no comparison can match
+                    continue
+                mn, mx = st.get("min"), st.get("max")
+                if mn is None or mx is None or \
+                        not isinstance(val, type(mn)) and \
+                        not (isinstance(val, (int, float)) and
+                             isinstance(mn, (int, float))):
+                    continue        # unprunable: keep
+                if op in ("=", "=="):
+                    ok = ok and (mn <= val <= mx)
+                elif op == "<":
+                    ok = ok and (mn < val)
+                elif op == "<=":
+                    ok = ok and (mn <= val)
+                elif op == ">":
+                    ok = ok and (mx > val)
+                elif op == ">=":
+                    ok = ok and (mx >= val)
+                else:
+                    raise ValueError(f"unsupported filter op {op!r}")
+            if not ok:
+                break
+        if ok:
+            keep.append(s)
+    return keep
 
 
 def _stripe_streams(info: OrcFileInfo, si: dict):
@@ -448,11 +574,13 @@ def read_orc_tail(path: str, probe: int = 64 * 1024) -> OrcFileInfo:
         f.seek(size - k)
         tail = f.read(k)
         ps_len = tail[-1]
-        footer_len = 0
+        footer_len = metadata_len = 0
         for fno, _, v in _fields(tail[-1 - ps_len: -1]):
             if fno == 1:
                 footer_len = v
-        need = 1 + ps_len + footer_len
+            elif fno == 5:
+                metadata_len = v
+        need = 1 + ps_len + footer_len + metadata_len
         if need > len(tail):
             f.seek(size - need)
             tail = f.read(need)

@@ -51,24 +51,29 @@ def list_orc_files(path: str) -> list[str]:
     return found
 
 
-def plan_orc_splits(spark: SparkSession, files: list[str]) -> DataFrame:
-    """Stage 1: distributed tail reads -> one row per stripe. The
-    lazy result is safe to cache/checkpoint as a scan manifest."""
+def plan_orc_splits(spark: SparkSession, files: list[str],
+                    filters: list[tuple] | None = None) -> DataFrame:
+    """Stage 1: distributed tail reads -> one row per stripe that MAY
+    match ``filters`` (see engine.orc_read.stripes_matching — pruning
+    happens against the per-stripe statistics in each file's Metadata
+    section, so pruned stripes cost ZERO stripe-byte reads; a file
+    without statistics keeps all its stripes). The lazy result is
+    safe to cache/checkpoint as a scan manifest."""
     paths = spark.createDataFrame([(f,) for f in files], "path string")
     n_plan = max(1, min(len(files), spark.sparkContext.defaultParallelism))
 
     def tails(batches):
         import pyarrow as pa
 
-        from engine.orc_read import read_orc_tail
+        from engine.orc_read import read_orc_tail, stripes_matching
         for batch in batches:
             for p in batch.column("path").to_pylist():
                 info = read_orc_tail(p)
-                n = len(info.stripes)
+                keep = stripes_matching(info, filters)
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array([p] * n),
-                     pa.array(range(n), type=pa.int64()),
-                     pa.array([si[5] for si in info.stripes],
+                    [pa.array([p] * len(keep)),
+                     pa.array(keep, type=pa.int64()),
+                     pa.array([info.stripes[i][5] for i in keep],
                               type=pa.int64())],
                     names=["path", "stripe", "n_rows"])
 
@@ -78,16 +83,30 @@ def plan_orc_splits(spark: SparkSession, files: list[str]) -> DataFrame:
 def read_orc_dir(spark: SparkSession, path: str,
                  columns: list[str] | None = None,
                  convention: str | None = None,
-                 parallelism: int | None = None) -> DataFrame:
+                 parallelism: int | None = None,
+                 filters: list[tuple] | None = None) -> DataFrame:
     """Read a directory of ORC files as a DataFrame with this
     engine's decoders. ``convention`` pins the pre-1970 timestamp
     convention (default: keyed per file off ``Footer.writer``,
     engine/orc_read.py). Schemas must agree across files (checked in
     the decode tasks against the driver-probed first tail).
+
+    ``filters``: [(column, op, literal)] conjunction pushed down to
+    the PLANNING stage — stripes whose statistics preclude a match
+    are dropped before any stripe byte is read (the file-level
+    PushedFilters analog; engine.orc_read.stripes_matching), and the
+    same predicates are re-applied as an exact Spark filter on the
+    decoded rows, so the result is exact, not a superset. Filter
+    columns are auto-added to the decode projection if missing from
+    ``columns`` (and pruned from the result).
     """
     files = list_orc_files(path)
     from engine.orc_read import read_orc_tail
     arrow_schema = read_orc_tail(files[0]).schema()
+    out_columns = columns
+    if columns is not None and filters:
+        columns = columns + [f[0] for f in filters
+                             if f[0] not in columns]
     if columns is not None:
         missing = [c for c in columns if arrow_schema.get_field_index(c) < 0]
         if missing:
@@ -104,7 +123,7 @@ def read_orc_dir(spark: SparkSession, path: str,
     target = to_arrow_schema(spark_schema)
     names = arrow_schema.names
 
-    splits = plan_orc_splits(spark, files)
+    splits = plan_orc_splits(spark, files, filters)
     n_dec = parallelism or spark.sparkContext.defaultParallelism
 
     def decode(batches):
@@ -123,4 +142,35 @@ def read_orc_dir(spark: SparkSession, path: str,
                                    convention=convention, info=info)
             yield from tbl.cast(target).to_batches()
 
-    return splits.repartition(n_dec).mapInArrow(decode, spark_schema)
+    out = splits.repartition(n_dec).mapInArrow(decode, spark_schema)
+    if filters:
+        out = out.where(_filter_column(filters))
+    if out_columns is not None and out_columns != columns:
+        out = out.select(*out_columns)
+    return out
+
+
+def _filter_column(filters: list[tuple]):
+    """The exact Spark predicate equivalent to the pruning filters."""
+    from pyspark.sql import functions as F
+    cond = None
+    for name, op, val in filters:
+        c = F.col(name)
+        if op == "is_null":
+            e = c.isNull()
+        elif op == "not_null":
+            e = c.isNotNull()
+        elif op in ("=", "=="):
+            e = c == val
+        elif op == "<":
+            e = c < val
+        elif op == "<=":
+            e = c <= val
+        elif op == ">":
+            e = c > val
+        elif op == ">=":
+            e = c >= val
+        else:
+            raise ValueError(f"unsupported filter op {op!r}")
+        cond = e if cond is None else cond & e
+    return cond

@@ -134,6 +134,71 @@ def test_tail_probe_smaller_than_file():
     assert len(info.stripes) >= 1
 
 
+def test_stripe_stats_and_pruning_own_writer():
+    """The engine writer emits a Metadata section (per-stripe typed
+    min/max); stripes_matching prunes stripes from the TAIL alone."""
+    n = 10000
+    t = pa.table({
+        "k": pa.array(range(n), type=pa.int64()),
+        "s": pa.array([f"key{i:08d}" for i in range(n)]),
+        "d": pa.array(np.arange(n, dtype=np.int32), type=pa.date32()),
+        "f": pa.array(np.arange(n, dtype=np.float64)),
+    })
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, stripe_rows=1000)
+    info = read_orc_tail(f)
+    ss = info.stripe_stats()
+    assert len(ss) == 10
+    from engine.orc_read import stripes_matching
+    # sorted input -> tight ranges -> 1-of-10 stripes per point lookup
+    assert stripes_matching(info, [("k", ">=", 9000)]) == [9]
+    assert stripes_matching(info, [("k", "<", 1000)]) == [0]
+    assert stripes_matching(info, [("s", "=", "key00005500")]) == [5]
+    assert stripes_matching(info, [("f", "<=", 500.0)]) == [0]
+    assert len(stripes_matching(info, [("d", ">", 7999)])) == 2
+    # conjunction with disjoint ranges prunes everything
+    assert stripes_matching(info, [("k", ">=", 9000),
+                                   ("k", "<", 1000)]) == []
+    # unknown column raises; type-mismatched literal keeps all
+    with pytest.raises(KeyError):
+        stripes_matching(info, [("nope", "=", 1)])
+    assert len(stripes_matching(info, [("k", "=", "str")])) == 10
+    # all-null stripes: comparisons drop, is_null keeps
+    t2 = pa.table({"x": pa.array([None] * 50 + list(range(50)),
+                                 type=pa.int64())})
+    f2 = tempfile.mktemp(suffix=".orc")
+    write_orc(t2, f2, stripe_rows=50)
+    info2 = read_orc_tail(f2)
+    assert stripes_matching(info2, [("x", ">=", 0)]) == [1]
+    assert stripes_matching(info2, [("x", "is_null", None)]) == [0]
+
+
+def test_stripe_pruning_reads_java_stats(spark):
+    """Spark/orc-core-written files carry the same Metadata; pruning
+    + exact residual filter through the distributed reader."""
+    from jobs.orc_read import plan_orc_splits, read_orc_dir
+    from pyspark.sql import functions as F
+    n = 100000
+    df = (spark.range(n)
+          .withColumn("s", F.format_string("key%08d", F.col("id"))))
+    out = tempfile.mkdtemp(prefix="sorted_orc_")
+    (df.repartitionByRange(4, "id").sortWithinPartitions("id")
+       .write.mode("overwrite").option("orc.stripe.size", 65536)
+       .orc(out))
+    files = sorted(os.path.join(out, p) for p in os.listdir(out)
+                   if p.startswith("part-") and not p.endswith(".crc"))
+    total = plan_orc_splits(spark, files).count()
+    pruned = plan_orc_splits(spark, files,
+                             [("id", ">=", n - 5000)]).count()
+    assert pruned < total
+    got = read_orc_dir(spark, out, columns=["s"],
+                       filters=[("id", ">=", n - 5000)])
+    assert got.columns == ["s"]
+    assert got.count() == 5000
+    want = {f"key{i:08d}" for i in range(n - 5000, n)}
+    assert {r["s"] for r in got.collect()} == want
+
+
 # --- orc-core Java (spark.write.orc) interop --------------------------
 
 
