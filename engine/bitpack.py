@@ -260,6 +260,13 @@ def packed_matrix(vals: np.ndarray, lens: np.ndarray, w: int
         return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     nbytes = (lens * w + 7) // 8
     max_len = int(lens.max())
+    if int(lens.min()) == max_len:
+        # uniform windows (full chunks, the common case): the matrix IS
+        # the concatenation — skip both boolean-mask scatter/gathers
+        rows = _pack_rows(vals.reshape(k, max_len), w)
+        if rows.shape[1] == int(nbytes[0]):
+            return rows.reshape(-1), nbytes
+        return rows[:, : int(nbytes[0])].reshape(-1), nbytes
     mat = np.zeros((k, max_len), dtype=np.uint64)
     col = np.arange(max_len)
     valid = col[None, :] < lens[:, None]
@@ -279,11 +286,15 @@ def unpack_matrix(payload: np.ndarray, lens: np.ndarray, w: int) -> np.ndarray:
     payload = np.ascontiguousarray(payload, dtype=np.uint8)
     nbytes = (lens * w + 7) // 8
     max_nb = int(nbytes.max())
+    max_len = int(lens.max())
+    if int(lens.min()) == max_len:
+        # uniform windows: reshape is the inverse directly
+        rows = payload.reshape(k, max_nb)
+        return _unpack_rows(rows, max_len, w).reshape(-1)
     rows = np.zeros((k, max_nb), dtype=np.uint8)
     bcol = np.arange(max_nb)
     bvalid = bcol[None, :] < nbytes[:, None]
     rows[bvalid] = payload
-    max_len = int(lens.max())
     mat = _unpack_rows(rows, max_len, w)
     col = np.arange(max_len)
     valid = col[None, :] < lens[:, None]
