@@ -26,8 +26,14 @@ CHUNK_SIZE = 256 * 1024  # orc.compress.size default
 
 _LZMA_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 1}]
 
-def _deflate5(b) -> bytes:
-    """zlib level-5 with the Z_RLE match strategy, falling back to the
+def _deflate_rle(level: int):
+    def f(b):
+        return _deflate(b, level)
+    return f
+
+
+def _deflate(b, level: int) -> bytes:
+    """zlib with the Z_RLE match strategy, falling back to the
     default strategy on small inputs when that wins.
 
     On this engine's bit-packed / varint streams Z_RLE (run-length
@@ -41,10 +47,10 @@ def _deflate5(b) -> bytes:
     output, the strategy is not part of the format.
     """
     data = bytes(b)
-    co = zlib.compressobj(5, zlib.DEFLATED, 15, 8, zlib.Z_RLE)
+    co = zlib.compressobj(level, zlib.DEFLATED, 15, 8, zlib.Z_RLE)
     out = co.compress(data) + co.flush()
     if len(data) < 16384:
-        alt = zlib.compress(data, 5)
+        alt = zlib.compress(data, level)
         if len(alt) < len(out):
             return alt
     return out
@@ -52,8 +58,8 @@ def _deflate5(b) -> bytes:
 
 CODECS: dict[str, tuple] = {
     # name -> (compress(bytes)->bytes, decompress(bytes)->bytes)
-    "zlib": (lambda b: zlib.compress(b, 4), zlib.decompress),
-    "zlib5": (_deflate5, zlib.decompress),
+    "zlib": (_deflate_rle(4), zlib.decompress),
+    "zlib5": (_deflate_rle(5), zlib.decompress),
     "zlib6": (lambda b: zlib.compress(b, 6), zlib.decompress),
     "zlib9": (lambda b: zlib.compress(b, 9), zlib.decompress),
     "lzma1": (lambda b: lzma.compress(b, format=lzma.FORMAT_RAW,
