@@ -658,6 +658,33 @@ def _q_orc_pruned_scan(spark, sf_dir):
     return dec.select("doc_id", "n_tok")
 
 
+def _q_orc_rowgroup_seek(spark, sf_dir):
+    """ROW-GROUP-level predicate pushdown inside stripes (M2 as a
+    *file* surface): the engine writer emits per-column ROW_INDEX
+    streams — seek positions + per-row-group statistics every
+    ``row_index_stride`` rows (engine/orc_file.py; positions verified
+    consumed by orc-core's own seeks in tests/test_orc_file.py) — and
+    the distributed reader prunes statistics-precluded row groups and
+    seeks its decoders straight to the survivors
+    (engine.orc_read.row_groups_matching + decode_rg), then re-applies
+    the predicate exactly. Single-stripe files make the row-group tier
+    the only pruning surface, so a match proves THAT tier."""
+    import tempfile
+
+    from jobs.orc_read import read_orc_dir
+    from jobs.orc_write import write_orc_dir
+
+    tok = (_token_df(spark, sf_dir).repartitionByRange(2, "n_tok")
+           .sortWithinPartitions("n_tok"))
+    out = tempfile.mkdtemp(prefix="orc_rg_seek_")
+    # one stripe per file; 512-row index groups -> ~10 groups/file
+    write_orc_dir(tok, out, stripe_rows=1_000_000,
+                  row_index_stride=512).collect()
+    dec = read_orc_dir(spark, out, columns=["doc_id", "n_tok"],
+                       filters=[("n_tok", ">=", 88)])
+    return dec.select("doc_id", "n_tok")
+
+
 def _q_skew_spread(spark, sf_dir):
     """§2.6 skew partition planning, fully oracle-checked: the
     token-weighted range-bucket map (jobs.encode.plan_partitions,
@@ -860,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_read_distributed": _q_orc_read_distributed,  # M6 (files)
         # planning-time stripe pruning from Metadata statistics
         "orc_pruned_scan": _q_orc_pruned_scan,            # M1+M6 (files)
+        "orc_rowgroup_seek": _q_orc_rowgroup_seek,        # M2 (files)
         # Structured Streaming encode surface (jobs/streaming.py)
         "streaming_roundtrip": _q_streaming_roundtrip,
         # bloom -> projection -> seek point lookups (M3 composition)
@@ -988,6 +1016,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok
             FROM documents WHERE {_SQL_NTOK} >= 90""",
+        "orc_rowgroup_seek": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok
+            FROM documents WHERE {_SQL_NTOK} >= 88""",
         "streaming_roundtrip": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok,

@@ -195,6 +195,7 @@ class OrcFileInfo:
         footer = _deframe(raw_footer, self.compression)
         self.num_rows = 0
         self.writer = 0  # proto default = ORC_JAVA
+        self.row_index_stride = 0
         self.types: list[_TypeNode] = []
         self.stripes: list[dict] = []
         for fno, wt, v in _fields(footer):
@@ -226,6 +227,8 @@ class OrcFileInfo:
                 self.types.append(t)
             elif fno == 6:
                 self.num_rows = v
+            elif fno == 8:
+                self.row_index_stride = v
             elif fno == 9:
                 self.writer = v
 
@@ -338,48 +341,107 @@ def stripes_matching(info: OrcFileInfo,
     stats = info.stripe_stats()
     if not stats or len(stats) != len(info.stripes):
         return every
+    flat = _filter_columns(info, filters)
+    return [s for s, cols in enumerate(stats)
+            if all(_stats_may_match(
+                cols[f] if f < len(cols) else {}, op, val)
+                for (_, op, val), f in zip(filters, flat))]
+
+
+def _filter_columns(info: OrcFileInfo, filters: list[tuple]) -> list[int]:
+    """Flattened column index for each filter's top-level column."""
     root = info.types[0]
     pos = {n: i for i, n in enumerate(root.field_names)}
+    out = []
+    for name, _, _ in filters:
+        if name not in pos:
+            raise KeyError(f"filter column {name!r} not in schema")
+        out.append(root.subtypes[pos[name]])
+    return out
+
+
+def _stats_may_match(st: dict | None, op: str, val) -> bool:
+    """Conservative predicate-vs-statistics test: False only when the
+    stats PROVE no row can match; missing/None/type-mismatched stats
+    keep the unit."""
+    st = st or {}
+    if op == "is_null":
+        return st.get("has_null", True)
+    if op == "not_null":
+        return st.get("n", 1) != 0
+    if st.get("n", 1) == 0:
+        return False        # all null: no comparison can match
+    mn, mx = st.get("min"), st.get("max")
+    if mn is None or mx is None or \
+            not isinstance(val, type(mn)) and \
+            not (isinstance(val, (int, float)) and
+                 isinstance(mn, (int, float))):
+        return True         # unprunable: keep
+    if op in ("=", "=="):
+        return mn <= val <= mx
+    if op == "<":
+        return mn < val
+    if op == "<=":
+        return mn <= val
+    if op == ">":
+        return mx > val
+    if op == ">=":
+        return mx >= val
+    raise ValueError(f"unsupported filter op {op!r}")
+
+
+def _bloom_may_match(bf, val) -> bool:
+    """Probe one bloom filter with an equality literal (hash family
+    per literal type: Wang mix for ints, orc Murmur3 for strings)."""
+    if isinstance(val, str):
+        b = val.encode()
+        return bool(bf.test_strings(
+            np.frombuffer(b, dtype=np.uint8),
+            np.array([len(b)], dtype=np.int64))[0])
+    if isinstance(val, bool) or not isinstance(val, (int, np.integer)):
+        return True
+    return bool(bf.test_longs(np.array([val], dtype=np.int64))[0])
+
+
+def row_groups_matching(dec: "_StripeDecoder",
+                        filters: list[tuple] | None) -> list[int] | None:
+    """Row groups of one stripe that MAY contain a matching row, from
+    the per-group RowIndexEntry statistics plus — for equality
+    predicates — the per-group BLOOM_FILTER_UTF8 filters when the
+    writer emitted them (superset — apply the exact filter
+    downstream). None = no usable index, decode everything."""
+    info = dec.info
+    stride = info.row_index_stride
+    if not filters or not stride or not dec.imap:
+        return None
+    ng = -(-dec.n_rows // stride)
+    flat = _filter_columns(info, filters)
+    try:
+        idx = {f: dec.row_index(f) for f in set(flat)}
+    except KeyError:
+        return None
+    if any(len(e) != ng for e in idx.values()):
+        return None
+    blooms = {}
+    for (_, op, _), f in zip(filters, flat):
+        if op in ("=", "==") and f not in blooms:
+            bl_ = dec.bloom_index(f)
+            blooms[f] = bl_ if bl_ and len(bl_) == ng else None
     keep = []
-    for s, cols in enumerate(stats):
+    for g in range(ng):
         ok = True
-        for name, op, val in filters:
-            if name not in pos:
-                raise KeyError(f"filter column {name!r} not in schema")
-            flat = root.subtypes[pos[name]]
-            st = cols[flat] if flat < len(cols) else {}
-            if op == "is_null":
-                if not st.get("has_null", True):
-                    ok = False
-            elif op == "not_null":
-                if st.get("n", 1) == 0:
-                    ok = False
-            else:
-                if st.get("n", 1) == 0:
-                    ok = False     # all null: no comparison can match
-                    continue
-                mn, mx = st.get("min"), st.get("max")
-                if mn is None or mx is None or \
-                        not isinstance(val, type(mn)) and \
-                        not (isinstance(val, (int, float)) and
-                             isinstance(mn, (int, float))):
-                    continue        # unprunable: keep
-                if op in ("=", "=="):
-                    ok = ok and (mn <= val <= mx)
-                elif op == "<":
-                    ok = ok and (mn < val)
-                elif op == "<=":
-                    ok = ok and (mn <= val)
-                elif op == ">":
-                    ok = ok and (mx > val)
-                elif op == ">=":
-                    ok = ok and (mx >= val)
-                else:
-                    raise ValueError(f"unsupported filter op {op!r}")
-            if not ok:
+        for (_, op, val), f in zip(filters, flat):
+            if not _stats_may_match(idx[f][g]["stats"], op, val):
+                ok = False
+                break
+            bf = blooms.get(f)
+            if bf is not None and op in ("=", "==") \
+                    and bf[g] is not None \
+                    and not _bloom_may_match(bf[g], val):
+                ok = False
                 break
         if ok:
-            keep.append(s)
+            keep.append(g)
     return keep
 
 
@@ -410,12 +472,18 @@ def _stripe_streams(info: OrcFileInfo, si: dict):
         elif fno == 3:
             tz = v.decode()
     smap = {}
+    imap = {}
+    bmap = {}
     pos = off
     for scol, skind, slen in streams:
-        if skind not in _INDEX_KINDS:
+        if skind == ROW_INDEX:
+            imap[scol] = info.data[pos: pos + slen]
+        elif skind == BLOOM_FILTER_UTF8:
+            bmap[scol] = info.data[pos: pos + slen]
+        elif skind not in _INDEX_KINDS:
             smap[(scol, skind)] = info.data[pos: pos + slen]
         pos += slen
-    return smap, encodings, tz
+    return smap, imap, bmap, encodings, tz
 
 
 # --- column decode ---------------------------------------------------------
@@ -423,13 +491,75 @@ def _stripe_streams(info: OrcFileInfo, si: dict):
 class _StripeDecoder:
     def __init__(self, info: OrcFileInfo, si: dict, convention: str):
         self.info = info
-        self.smap, self.encodings, tz = _stripe_streams(info, si)
+        self.smap, self.imap, self.bmap, self.encodings, tz = \
+            _stripe_streams(info, si)
         if tz not in ("UTC", "GMT", "Etc/UTC", ""):
             raise NotImplementedError(
                 f"stripe writerTimezone {tz!r}: only UTC-written files "
                 "are supported")
         self.n_rows = si[5]
         self.convention = convention
+        self._ridx: dict[int, list] = {}
+
+    def row_index(self, col: int) -> list[dict]:
+        """Parsed ROW_INDEX entries for a column: one
+        ``{"pos": [...], "stats": {...}}`` per row group."""
+        if col not in self._ridx:
+            raw = self.imap.get(col)
+            if raw is None:
+                raise KeyError(f"no ROW_INDEX stream for column {col}")
+            buf = _deframe(raw, self.info.compression)
+            entries = []
+            for fno, _, v in _fields(buf):
+                if fno != 1:            # RowIndexEntry
+                    continue
+                pos: list[int] = []
+                st = None
+                for f2, w2, v2 in _fields(v):
+                    if f2 == 1:         # positions (packed or not)
+                        if w2 == 2:
+                            pos.extend(_packed_varints(v2))
+                        else:
+                            pos.append(v2)
+                    elif f2 == 2:
+                        st = _parse_col_stats(v2)
+                entries.append({"pos": pos, "stats": st})
+            self._ridx[col] = entries
+        return self._ridx[col]
+
+    def bloom_index(self, col: int) -> list | None:
+        """Parsed BLOOM_FILTER_UTF8 stream: one engine BloomFilter per
+        row group (None when absent or a group's bitset is empty).
+        Only the UTF8 variant is consumed — the legacy BLOOM_FILTER
+        (kind 7) hashed Java chars, incompatible with the modern
+        hashing this engine implements."""
+        raw = self.bmap.get(col)
+        if raw is None:
+            return None
+        from . import bloom as bl
+        buf = _deframe(raw, self.info.compression)
+        out = []
+        for fno, _, v in _fields(buf):
+            if fno != 1:                # BloomFilter
+                continue
+            k = 0
+            bits = b""
+            for f2, w2, v2 in _fields(v):
+                if f2 == 1:
+                    k = v2
+                elif f2 == 3 and w2 == 2:
+                    bits = bytes(v2)
+                elif f2 == 2:           # repeated fixed64 bitset
+                    bits += bytes(v2)
+            if not k or not bits:
+                out.append(None)
+                continue
+            bf = bl.BloomFilter.__new__(bl.BloomFilter)
+            bf.num_hash_functions = int(k)
+            bf.bits = np.frombuffer(bits, dtype="<u8").astype(np.uint64)
+            bf.num_bits = bf.bits.size * 64
+            out.append(bf)
+        return out
 
     def stream(self, col: int, kind: int) -> bytes:
         raw = self.smap.get((col, kind))
@@ -527,13 +657,8 @@ class _StripeDecoder:
         if k in (K_STRING, K_VARCHAR, K_CHAR):
             enc_kind = self.encodings[col][0]
             if enc_kind in (ENC_DICTIONARY, ENC_DICTIONARY_V2):
-                dsz = self.encodings[col][1]
-                klens = self._ints(col, LENGTH, dsz, signed=False)
-                keys = strings_from_bytes(
-                    np.frombuffer(self.stream(col, DICTIONARY_DATA),
-                                  dtype=np.uint8), klens)
                 ids = self._ints(col, DATA, nn, signed=False)
-                return keys.take(pa.array(ids))
+                return self._dict_keys(col).take(pa.array(ids))
             lens = self._ints(col, LENGTH, nn, signed=False)
             data = np.frombuffer(self.stream(col, DATA), dtype=np.uint8)
             return strings_from_bytes(data, lens)
@@ -546,6 +671,211 @@ class _StripeDecoder:
                 [None, pa.py_buffer(offs.tobytes()),
                  pa.py_buffer(data.tobytes())])
         raise NotImplementedError(f"ORC type kind {k} is not readable")
+
+    def _dict_keys(self, col: int) -> pa.Array:
+        """Stripe-wide dictionary keys (dictionary streams carry no
+        row-group positions — readers load them whole)."""
+        dsz = self.encodings[col][1]
+        klens = self._ints(col, LENGTH, dsz, signed=False)
+        return strings_from_bytes(
+            np.frombuffer(self.stream(col, DICTIONARY_DATA),
+                          dtype=np.uint8), klens)
+
+    # --- row-group seek decode (ROW_INDEX positions) -----------------
+
+    def decode_rg(self, col: int, g: int, n: int) -> pa.Array:
+        """Decode ``n`` consecutive rows of ``col`` starting at row
+        group ``g`` (``n`` may span several adjacent groups), seeking
+        every stream via the group's recorded positions — the bytes
+        before the seek targets are never RLE-walked, and with
+        compressed files only chunks from the recorded chunk offset on
+        are inflated."""
+        t = self.info.types[col]
+        cur = _RgCursor(self, col, g)
+        if (col, PRESENT) in self.smap:
+            valid = cur.bools(PRESENT, n)
+            nn = int(valid.sum())
+        else:
+            valid = None
+            nn = n
+        vals = self._decode_values_rg(col, t, nn, g, cur)
+        if valid is None:
+            return vals
+        idx = np.cumsum(valid, dtype=np.int64) - 1
+        take = pa.array(idx, type=pa.int64(), mask=~valid)
+        return vals.take(take)
+
+    def _rle_v2(self, col: int) -> bool:
+        return self.encodings[col][0] in (ENC_DIRECT_V2, ENC_DICTIONARY_V2)
+
+    def _decode_values_rg(self, col: int, t: _TypeNode, nn: int, g: int,
+                          cur: "_RgCursor") -> pa.Array:
+        k = t.kind
+        v2 = self._rle_v2(col)
+        if k == K_STRUCT:
+            children = [self.decode_rg(sub, g, nn) for sub in t.subtypes]
+            if not children:
+                return pa.array([{}] * nn)
+            return pa.StructArray.from_arrays(children,
+                                              names=t.field_names)
+        if k in (K_LIST, K_MAP):
+            lens = cur.rle_ints(LENGTH, nn, signed=False, v2=v2)
+            offs = cumsum0(lens)
+            cn = int(offs[-1]) if nn else 0
+            if k == K_LIST:
+                child = self.decode_rg(t.subtypes[0], g, cn)
+                return pa.LargeListArray.from_arrays(
+                    pa.array(offs, type=pa.int64()), child)
+            keys = self.decode_rg(t.subtypes[0], g, cn)
+            items = self.decode_rg(t.subtypes[1], g, cn)
+            return pa.MapArray.from_arrays(
+                pa.array(offs, type=pa.int32()), keys, items)
+        if k == K_BOOLEAN:
+            bits = cur.bools(DATA, nn)
+            return pa.array(bits, type=pa.bool_())
+        if k == K_BYTE:
+            v = cur.byte_rle(DATA, nn)
+            return pa.array(v.view(np.int8), type=pa.int8())
+        if k in (K_SHORT, K_INT, K_LONG):
+            v = cur.rle_ints(DATA, nn, signed=True, v2=v2)
+            at = {K_SHORT: pa.int16(), K_INT: pa.int32(),
+                  K_LONG: pa.int64()}[k]
+            return pa.array(v, type=pa.int64()).cast(at)
+        if k in (K_FLOAT, K_DOUBLE):
+            w = 8 if k == K_DOUBLE else 4
+            v = T.decode_floats(cur.raw(DATA)[: nn * w], nn,
+                                double=(k == K_DOUBLE))
+            return pa.array(v)
+        if k == K_DATE:
+            v = cur.rle_ints(DATA, nn, signed=True, v2=v2)
+            return pa.array(v.astype(np.int32)).cast(pa.date32())
+        if k in (K_TIMESTAMP, K_TIMESTAMP_INSTANT):
+            secs = cur.rle_ints(DATA, nn, signed=True, v2=v2)
+            enc = cur.rle_ints(SECONDARY, nn, signed=False, v2=v2)
+            ns = T.timestamp_from_parts(secs, enc, self.convention)
+            tz = "UTC" if k == K_TIMESTAMP_INSTANT else None
+            return pa.array(ns).cast(pa.timestamp("ns", tz=tz))
+        if k == K_DECIMAL:
+            lo, hi = d128.decode_unbounded_varints(cur.raw(DATA), nn)
+            scales = cur.rle_ints(SECONDARY, nn, signed=True, v2=v2)
+            diff = t.scale - scales
+            if nn and diff.any():
+                lo, hi = d128.rescale_limbs(lo, hi, diff)
+            raw = np.empty(2 * nn, dtype=np.uint64)
+            raw[0::2] = lo
+            raw[1::2] = hi.view(np.uint64) if hi.dtype != np.uint64 \
+                else hi
+            typ = pa.decimal128(t.precision or 38, t.scale)
+            return pa.Array.from_buffers(
+                typ, nn, [None, pa.py_buffer(raw.tobytes())])
+        if k in (K_STRING, K_VARCHAR, K_CHAR):
+            if self.encodings[col][0] in (ENC_DICTIONARY,
+                                          ENC_DICTIONARY_V2):
+                ids = cur.rle_ints(DATA, nn, signed=False, v2=v2)
+                return self._dict_keys(col).take(pa.array(ids))
+            data = np.frombuffer(cur.raw(DATA), dtype=np.uint8)
+            lens = cur.rle_ints(LENGTH, nn, signed=False, v2=v2)
+            return strings_from_bytes(data[: int(lens.sum())], lens)
+        if k == K_BINARY:
+            data = np.frombuffer(cur.raw(DATA), dtype=np.uint8)
+            lens = cur.rle_ints(LENGTH, nn, signed=False, v2=v2)
+            offs = cumsum0(lens)
+            return pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), nn,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(data[: int(offs[-1])].tobytes())])
+        raise NotImplementedError(
+            f"ORC type kind {k} is not readable via row-group seek")
+
+
+class _RgCursor:
+    """Consumes one RowIndexEntry's positions in the reader's stream
+    order (the format's implicit contract: PRESENT first, then the
+    type's streams — mirroring TreeWriter recordPosition order).
+
+    Slot layout per stream: uncompressed files record [byte offset],
+    compressed files [chunk offset, offset in inflated chunk]; RLE
+    streams append [values consumed in run], boolean streams append
+    [bytes consumed in byte-RLE run, bits consumed in byte]. Skips are
+    honored by over-decoding and dropping — ORC C++/Java files record
+    mid-run states (their writers don't break runs at group
+    boundaries), this engine's writer records zero skips."""
+
+    def __init__(self, dec: _StripeDecoder, col: int, g: int):
+        self.dec = dec
+        self.pos = dec.row_index(col)[g]["pos"]
+        self.col = col
+        self.i = 0
+        self.comp = dec.info.compression != COMP_NONE
+
+    def _stream(self, kind: int) -> bytes:
+        raw = self.dec.smap.get((self.col, kind))
+        if raw is None:
+            return b""
+        if self.comp:
+            coff = int(self.pos[self.i])
+            sub = int(self.pos[self.i + 1])
+            self.i += 2
+            return _deframe(raw[coff:],
+                            self.dec.info.compression)[sub:]
+        off = int(self.pos[self.i])
+        self.i += 1
+        return bytes(raw[off:])
+
+    def _skip(self) -> int:
+        v = int(self.pos[self.i])
+        self.i += 1
+        return v
+
+    def rle_ints(self, kind: int, n: int, signed: bool,
+                 v2: bool) -> np.ndarray:
+        buf = self._stream(kind)
+        k = self._skip()
+        if v2:
+            return rle2.decode_rlev2(buf, k + n, signed=signed,
+                                     exact=False)[k:]
+        return rle1.decode_rlev1(buf, k + n, signed=signed,
+                                 exact=False)[k:]
+
+    def bools(self, kind: int, n: int) -> np.ndarray:
+        buf = self._stream(kind)
+        s = self._skip() * 8 + self._skip()
+        return rle1.decode_bool(buf, s + n, exact=False)[s:]
+
+    def byte_rle(self, kind: int, n: int) -> np.ndarray:
+        buf = self._stream(kind)
+        k = self._skip()
+        return rle1.decode_byte_rle(buf, k + n, exact=False)[k:]
+
+    def raw(self, kind: int) -> bytes:
+        return self._stream(kind)
+
+
+def _stripe_batches(dec: _StripeDecoder, root: _TypeNode, sel: list[int],
+                    out_schema: pa.Schema,
+                    filters: list[tuple] | None) -> list[pa.RecordBatch]:
+    """Decode one stripe, row-group-pruned when a usable ROW_INDEX and
+    filters exist: only the statistics-surviving groups are decoded,
+    each via positions-based seek (adjacent groups merge into one
+    seek+decode run)."""
+    groups = row_groups_matching(dec, filters)
+    stride = dec.info.row_index_stride
+    ng = -(-dec.n_rows // stride) if stride else 1
+    if groups is None or len(groups) == ng:
+        arrays = [dec.decode(root.subtypes[j], dec.n_rows) for j in sel]
+        return [pa.record_batch(arrays, schema=out_schema)]
+    runs: list[list[int]] = []
+    for g in sorted(groups):
+        if runs and g == runs[-1][0] + runs[-1][1]:
+            runs[-1][1] += 1
+        else:
+            runs.append([g, 1])
+    batches = []
+    for g0, cnt in runs:
+        n = min(cnt * stride, dec.n_rows - g0 * stride)
+        arrays = [dec.decode_rg(root.subtypes[j], g0, n) for j in sel]
+        batches.append(pa.record_batch(arrays, schema=out_schema))
+    return batches
 
 
 def _resolve_convention(info: OrcFileInfo, convention: str | None) -> str:
@@ -604,19 +934,8 @@ class _ShiftedData:
         return self.buf[sl.start - self.base: sl.stop - self.base]
 
 
-def read_orc_stripes(path: str, stripe_indices: list[int],
-                     columns: list[str] | None = None,
-                     convention: str | None = None,
-                     info: OrcFileInfo | None = None) -> pa.Table:
-    """Range-read decode: touch ONLY the file tail (~KB, skipped when a
-    planning-time ``info`` is passed) plus the selected stripes' byte
-    ranges — the I/O shape a distributed reader task needs (a
-    100-stripe file split 100 ways costs each task 1/100th of the
-    bytes, not a whole-file read per task)."""
-    import copy
-    if info is None:
-        info = read_orc_tail(path)
-    conv = _resolve_convention(info, convention)
+def _select(info: OrcFileInfo, columns: list[str] | None
+            ) -> tuple[list[int], pa.Schema]:
     root = info.types[0]
     names = root.field_names
     if columns is None:
@@ -628,7 +947,27 @@ def read_orc_stripes(path: str, stripe_indices: list[int],
             raise KeyError(f"columns not in ORC schema: {missing}")
         sel = [pos[c] for c in columns]
     schema = info.schema()
-    out_schema = pa.schema([schema.field(i) for i in sel])
+    return sel, pa.schema([schema.field(i) for i in sel])
+
+
+def read_orc_stripes(path: str, stripe_indices: list[int],
+                     columns: list[str] | None = None,
+                     convention: str | None = None,
+                     info: OrcFileInfo | None = None,
+                     filters: list[tuple] | None = None) -> pa.Table:
+    """Range-read decode: touch ONLY the file tail (~KB, skipped when a
+    planning-time ``info`` is passed) plus the selected stripes' byte
+    ranges — the I/O shape a distributed reader task needs (a
+    100-stripe file split 100 ways costs each task 1/100th of the
+    bytes, not a whole-file read per task). ``filters`` additionally
+    prune and seek at row-group granularity inside each stripe (see
+    :func:`read_orc`)."""
+    import copy
+    if info is None:
+        info = read_orc_tail(path)
+    conv = _resolve_convention(info, convention)
+    root = info.types[0]
+    sel, out_schema = _select(info, columns)
     batches = []
     with open(path, "rb") as f:
         for i in stripe_indices:
@@ -639,9 +978,8 @@ def read_orc_stripes(path: str, stripe_indices: list[int],
             win = copy.copy(info)
             win.data = _ShiftedData(memoryview(f.read(length)), off)
             dec = _StripeDecoder(win, si, conv)
-            arrays = [dec.decode(root.subtypes[j], dec.n_rows)
-                      for j in sel]
-            batches.append(pa.record_batch(arrays, schema=out_schema))
+            batches.extend(
+                _stripe_batches(dec, root, sel, out_schema, filters))
     if not batches:
         return out_schema.empty_table()
     return pa.Table.from_batches(batches, schema=out_schema)
@@ -649,35 +987,35 @@ def read_orc_stripes(path: str, stripe_indices: list[int],
 
 def read_orc(path: str, columns: list[str] | None = None,
              convention: str | None = None,
-             stripe_indices: list[int] | None = None) -> pa.Table:
+             stripe_indices: list[int] | None = None,
+             filters: list[tuple] | None = None) -> pa.Table:
     """Read an ORC file into an Arrow table with this engine's decoders.
 
     ``columns`` projects top-level fields (unprojected columns' streams
     are never decompressed or decoded). ``stripe_indices`` restricts to
     a subset of stripes — the split unit the distributed reader
     (jobs/orc_read.py) parallelizes over.
+
+    ``filters`` ([(column, op, literal)] conjunction, ops as in
+    :func:`stripes_matching`) prune in two tiers and return a SUPERSET
+    of the matching rows (apply the exact filter downstream): stripes
+    via the Metadata statistics, then row groups inside each surviving
+    stripe via the ROW_INDEX entry statistics, decoding only the
+    surviving groups through positions-based stream seeks — works on
+    files written by this engine, ORC C++, or orc-core alike.
     """
     info = read_orc_info(path)
     conv = _resolve_convention(info, convention)
     root = info.types[0]
-    names = root.field_names
-    if columns is None:
-        sel = list(range(len(names)))
-    else:
-        pos = {n: i for i, n in enumerate(names)}
-        missing = [c for c in columns if c not in pos]
-        if missing:
-            raise KeyError(f"columns not in ORC schema: {missing}")
-        sel = [pos[c] for c in columns]
-    schema = info.schema()
-    out_schema = pa.schema([schema.field(i) for i in sel])
-    stripes = info.stripes if stripe_indices is None else \
-        [info.stripes[i] for i in stripe_indices]
+    sel, out_schema = _select(info, columns)
+    if stripe_indices is None:
+        stripe_indices = stripes_matching(info, filters) if filters \
+            else range(len(info.stripes))
     batches = []
-    for si in stripes:
-        dec = _StripeDecoder(info, si, conv)
-        arrays = [dec.decode(root.subtypes[i], dec.n_rows) for i in sel]
-        batches.append(pa.record_batch(arrays, schema=out_schema))
+    for i in stripe_indices:
+        dec = _StripeDecoder(info, info.stripes[i], conv)
+        batches.extend(
+            _stripe_batches(dec, root, sel, out_schema, filters))
     if not batches:
         return out_schema.empty_table()
     return pa.Table.from_batches(batches, schema=out_schema)

@@ -157,10 +157,14 @@ def encode_rlev1(values, signed: bool = True) -> np.ndarray:
     return out
 
 
-def decode_rlev1(buf, n: int, signed: bool = True) -> np.ndarray:
-    """Decode an ORC RLEv1 stream into ``n`` int64 values."""
+def decode_rlev1(buf, n: int, signed: bool = True,
+                 exact: bool = True) -> np.ndarray:
+    """Decode an ORC RLEv1 stream into ``n`` int64 values.
+    ``exact=False`` permits the final run to overshoot ``n`` (mid-
+    stream row-group seeks land inside runs); the tail is truncated."""
     if n == 0:
         return np.zeros(0, dtype=_I64)
+    want = n
     raw = bytes(buf)
     data = np.frombuffer(raw, dtype=np.uint8)
     pos = 0
@@ -189,7 +193,9 @@ def decode_rlev1(buf, n: int, signed: bool = True) -> np.ndarray:
             pos += 1 + consumed
         produced += cnt
     if produced != n:
-        raise ValueError(f"RLEv1 produced {produced}, expected {n}")
+        if exact:
+            raise ValueError(f"RLEv1 produced {produced}, expected {n}")
+        n = produced
     out = np.empty(n, dtype=_I64)
     if run_off:
         ro = np.array(run_off, dtype=_I64)
@@ -215,15 +221,24 @@ def decode_rlev1(buf, n: int, signed: bool = True) -> np.ndarray:
         u, _ = vi.decode_varints(payload, total)
         vals = vi.zigzag_decode(u) if signed else u.view(_I64)
         out[span_positions(lo, lc)] = vals
-    return out
+    return out if n == want else out[:want]
 
 
-def encode_byte_rle(values) -> np.ndarray:
-    """Encode a uint8 array as an ORC byte-RLE stream."""
+def encode_byte_rle(values, return_runs: bool = False):
+    """Encode a uint8 array as an ORC byte-RLE stream.
+
+    With ``return_runs`` returns ``(out, run_starts, run_offs)`` where
+    ``run_starts[i]`` is the input value index where emitted run/
+    literal-group i begins and ``run_offs[i]`` its byte offset in the
+    stream — the seek-position surface: the ORC position of value k is
+    ``(run_offs[j], k - run_starts[j])`` for the covering run j
+    (RunLengthByteReader semantics: [stream offset, values consumed])."""
     b = np.ascontiguousarray(values, dtype=np.uint8)
     n = b.size
     if n == 0:
-        return np.zeros(0, dtype=np.uint8)
+        z = np.zeros(0, dtype=np.uint8)
+        return (z, np.zeros(0, dtype=_I64), np.zeros(0, dtype=_I64)) \
+            if return_runs else z
     # runs of equal bytes: boundaries where the byte changes
     newrun = np.empty(n, dtype=bool)
     newrun[0] = True
@@ -274,13 +289,17 @@ def encode_byte_rle(values) -> np.ndarray:
     if len(ls):
         out[offs_lit] = (-ll).astype(np.int8).view(np.uint8)
         out[span_positions(offs_lit + 1, ll)] = gather_spans(b, ls, ll)
+    if return_runs:
+        return out, starts_all[order], offs_all[:-1]
     return out
 
 
-def decode_byte_rle(buf, n: int) -> np.ndarray:
-    """Decode an ORC byte-RLE stream into ``n`` uint8 values."""
+def decode_byte_rle(buf, n: int, exact: bool = True) -> np.ndarray:
+    """Decode an ORC byte-RLE stream into ``n`` uint8 values.
+    ``exact=False`` truncates a final run that overshoots ``n``."""
     if n == 0:
         return np.zeros(0, dtype=np.uint8)
+    want = n
     raw = bytes(buf)
     data = np.frombuffer(raw, dtype=np.uint8)
     pos = 0
@@ -303,7 +322,10 @@ def decode_byte_rle(buf, n: int) -> np.ndarray:
             pos += 1 + cnt
         produced += cnt
     if produced != n:
-        raise ValueError(f"byte-RLE produced {produced}, expected {n}")
+        if exact:
+            raise ValueError(
+                f"byte-RLE produced {produced}, expected {n}")
+        n = produced
     out = np.empty(n, dtype=np.uint8)
     if run_off:
         ro = np.array(run_off, dtype=_I64)
@@ -315,22 +337,27 @@ def decode_byte_rle(buf, n: int) -> np.ndarray:
         lp = np.array(lit_pos, dtype=_I64)
         lc = np.array(lit_cnt, dtype=_I64)
         out[span_positions(lo, lc)] = gather_spans(data, lp, lc)
-    return out
+    return out if n == want else out[:want]
 
 
-def encode_bool(mask) -> np.ndarray:
+def encode_bool(mask, return_runs: bool = False):
     """Encode a boolean array as an ORC bit-field stream: bits MSB-first
-    per byte (BitFieldWriter), then byte-RLE."""
+    per byte (BitFieldWriter), then byte-RLE. ``return_runs`` as in
+    :func:`encode_byte_rle` (run starts are in PACKED-BYTE coordinates;
+    the bit position of value k is ``k % 8`` within byte ``k // 8``)."""
     m = np.ascontiguousarray(mask, dtype=bool)
     if m.size == 0:
-        return np.zeros(0, dtype=np.uint8)
-    return encode_byte_rle(np.packbits(m))
+        z = np.zeros(0, dtype=np.uint8)
+        return (z, np.zeros(0, dtype=_I64), np.zeros(0, dtype=_I64)) \
+            if return_runs else z
+    return encode_byte_rle(np.packbits(m), return_runs=return_runs)
 
 
-def decode_bool(buf, n: int) -> np.ndarray:
-    """Decode an ORC bit-field stream into ``n`` booleans."""
+def decode_bool(buf, n: int, exact: bool = True) -> np.ndarray:
+    """Decode an ORC bit-field stream into ``n`` booleans.
+    ``exact=False`` as in :func:`decode_byte_rle` (seek decodes)."""
     if n == 0:
         return np.zeros(0, dtype=bool)
     nbytes = (n + 7) // 8
-    packed = decode_byte_rle(buf, nbytes)
+    packed = decode_byte_rle(buf, nbytes, exact=exact)
     return np.unpackbits(packed)[:n].astype(bool)

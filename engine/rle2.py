@@ -711,7 +711,7 @@ def group_chunks(sizes: np.ndarray, counts: np.ndarray,
 
 
 def decode_rlev2(buf, n: int, signed: bool = True,
-                 sizes=None, groups=None) -> np.ndarray:
+                 sizes=None, groups=None, exact: bool = True) -> np.ndarray:
     """Decode an ORC RLEv2 stream into ``n`` int64 values.
 
     Decodes any spec-conformant stream (cross-implementation: streams
@@ -722,9 +722,15 @@ def decode_rlev2(buf, n: int, signed: bool = True,
     ``sizes`` (exact per-chunk byte sizes) skips the walk entirely;
     ``groups`` (per-group byte sizes from :func:`group_chunks`) runs
     the group-parallel walk — the directory the block format stores.
+
+    ``exact=False`` permits the final run to overshoot ``n`` (the
+    row-group seek case: a foreign writer's run crosses the group
+    boundary, so a mid-stream decode of k rows rarely lands on a run
+    end); the overshoot is decoded and truncated.
     """
     if n == 0:
         return np.zeros(0, dtype=_I64)
+    want = n
     bufarr = np.ascontiguousarray(np.frombuffer(bytes(buf), dtype=np.uint8))
     m = bufarr.size
     if sizes is not None:
@@ -758,8 +764,10 @@ def decode_rlev2(buf, n: int, signed: bool = True,
             produced += counts_at[pos]
             pos += sizes_at[pos]
         if produced != n:
-            raise ValueError(f"RLEv2 stream produced {produced} values, "
-                             f"expected {n}")
+            if exact:
+                raise ValueError(f"RLEv2 stream produced {produced} "
+                                 f"values, expected {n}")
+            n = produced        # decode the overshoot, truncate below
         starts = np.array(starts_l, dtype=np.int64)
         h = bufarr[starts].astype(np.int64)
         tag = h >> 6
@@ -913,7 +921,7 @@ def decode_rlev2(buf, n: int, signed: bool = True,
         vals = vals_c.view(_I64) + np.repeat(base, cnt_p)
         out[span_positions(out_offs[pt], cnt_p)] = vals
 
-    return out
+    return out if n == want else out[:want]
 
 
 def chunk_cover(counts: np.ndarray, v0: int, v1: int

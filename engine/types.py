@@ -98,8 +98,18 @@ def encode_timestamp(epoch_nanos, convention: str = "cpp"
 
 def decode_timestamp(data, secondary, n: int,
                      convention: str = "cpp") -> np.ndarray:
-    secs = rle2.decode_rlev2(data, n, signed=True) + BASE_TIMESTAMP_EPOCH
+    secs = rle2.decode_rlev2(data, n, signed=True)
     enc = rle2.decode_rlev2(secondary, n, signed=False)
+    return timestamp_from_parts(secs, enc, convention)
+
+
+def timestamp_from_parts(secs_rel: np.ndarray, enc: np.ndarray,
+                         convention: str = "cpp") -> np.ndarray:
+    """Combine decoded DATA (seconds relative to the 2015 epoch) and
+    SECONDARY (packed nanos) arrays into epoch nanos — the stream-
+    independent half of :func:`decode_timestamp`, used by the
+    row-group seek path which decodes the streams with skip state."""
+    secs = secs_rel + BASE_TIMESTAMP_EPOCH
     zeros = (enc & 7).astype(np.int64)          # two's-complement & : 0..7
     vals = (enc >> 3).astype(np.int64)          # arithmetic shift: signed
     nanos = vals * np.power(10, np.where(zeros > 0, zeros + 1, 0))

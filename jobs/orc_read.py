@@ -91,14 +91,16 @@ def read_orc_dir(spark: SparkSession, path: str,
     engine/orc_read.py). Schemas must agree across files (checked in
     the decode tasks against the driver-probed first tail).
 
-    ``filters``: [(column, op, literal)] conjunction pushed down to
-    the PLANNING stage — stripes whose statistics preclude a match
-    are dropped before any stripe byte is read (the file-level
-    PushedFilters analog; engine.orc_read.stripes_matching), and the
-    same predicates are re-applied as an exact Spark filter on the
-    decoded rows, so the result is exact, not a superset. Filter
-    columns are auto-added to the decode projection if missing from
-    ``columns`` (and pruned from the result).
+    ``filters``: [(column, op, literal)] conjunction pushed down in
+    THREE tiers — planning drops statistics-precluded stripes before
+    any stripe byte is read (engine.orc_read.stripes_matching); each
+    decode task then drops statistics-precluded ROW GROUPS inside its
+    stripes and seeks directly to the survivors via the ROW_INDEX
+    positions (engine.orc_read.row_groups_matching); finally the same
+    predicates re-apply as an exact Spark filter on the decoded rows,
+    so the result is exact, not a superset. Filter columns are
+    auto-added to the decode projection if missing from ``columns``
+    (and pruned from the result).
     """
     files = list_orc_files(path)
     from engine.orc_read import read_orc_tail
@@ -139,7 +141,8 @@ def read_orc_dir(spark: SparkSession, path: str,
                 raise ValueError(
                     f"{p}: ORC schema {got} lacks projected {names}")
             tbl = read_orc_stripes(p, sorted(stripes), columns=names,
-                                   convention=convention, info=info)
+                                   convention=convention, info=info,
+                                   filters=filters)
             yield from tbl.cast(target).to_batches()
 
     out = splits.repartition(n_dec).mapInArrow(decode, spark_schema)

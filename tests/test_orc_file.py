@@ -3,6 +3,7 @@ independent readers — ORC C++ (pyarrow.orc) and orc-core Java
 (spark.read.orc)."""
 
 import decimal as pydec
+import os
 import tempfile
 
 import numpy as np
@@ -159,3 +160,139 @@ def test_distributed_orc_dir_write(spark):
     # ORC C++ reads each part-file
     n_cpp = sum(orc.read_table(f).num_rows for f in files)
     assert n_cpp == 3000
+
+
+# --- ROW_INDEX emission: seek positions verified by orc-core ------------
+
+
+def _indexed_table(n=50_000):
+    rng = np.random.default_rng(5)
+    x = np.arange(n, dtype=np.int64)
+    return pa.table({
+        "x": pa.array(x),                         # sorted -> rg pruning
+        "p": pa.array(rng.integers(0, 1000, n)),
+        # long valid runs crossing group boundaries exercise nonzero
+        # PRESENT run/bit skip states in the reader
+        "nv": pa.array([None if (i // 3000) % 2 == 0 and i % 17 == 0
+                        else int(i) for i in range(n)],
+                       type=pa.int64()),
+        "s": pa.array([f"k{i % 40}" for i in range(n)]),     # dict
+        "u": pa.array([f"unique-{i}" for i in range(n)]),    # direct
+        "toks": pa.array([[int(i) % 9] * (i % 4) for i in range(n)],
+                         type=pa.list_(pa.int32())),
+    })
+
+
+def test_row_index_spark_filter_pushdown_seek(spark):
+    """orc-core (Spark) seeks to matching row groups through the
+    positions this writer records: a pushed range filter over a sorted
+    column returns exactly the right rows for EVERY column type."""
+    t = _indexed_table()
+    d = tempfile.mkdtemp()
+    write_orc(t, os.path.join(d, "part.orc"), stripe_rows=50_000,
+              row_index_stride=1000)
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    got = (spark.read.orc(d).filter("x >= 37500 and x < 38200")
+           .orderBy("x").collect())
+    assert len(got) == 700
+    for r, i in zip(got, range(37500, 38200)):
+        assert r.x == i and r.s == f"k{i % 40}" and r.u == f"unique-{i}"
+        assert r.toks == [i % 9] * (i % 4)
+        nv_exp = None if (i // 3000) % 2 == 0 and i % 17 == 0 else i
+        assert r.nv == nv_exp
+
+
+def test_row_index_positions_actually_consumed(spark):
+    """Prove orc-core SEEKS via the recorded positions (doesn't just
+    scan): corrupting every position breaks the pushdown read while
+    the sequential (non-pushdown) read stays correct."""
+    import engine.orc_file as of
+
+    orig = of._row_index_pb
+
+    def corrupt(col):
+        out = b""
+        for pos, nv, hn, st in col.rg:
+            body = b""
+            if pos:
+                body += of.pb_bytes(1, b"".join(of._uv(p + 7)
+                                                for p in pos))
+            body += of.pb_bytes(2, of._col_stats_pb(nv, hn, st))
+            out += of.pb_bytes(1, body)
+        return out
+
+    x = np.arange(50_000, dtype=np.int64)
+    t = pa.table({"x": pa.array(x), "p": pa.array((x * 3) % 997)})
+    d = tempfile.mkdtemp()
+    of._row_index_pb = corrupt
+    try:
+        write_orc(t, os.path.join(d, "part.orc"), row_index_stride=1000)
+    finally:
+        of._row_index_pb = orig
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    broken = False
+    try:
+        rows = (spark.read.orc(d)
+                .filter("x >= 37500 and x < 38200").collect())
+        broken = len(rows) != 700 or any(r.p != (r.x * 3) % 997
+                                         for r in rows)
+    except Exception:
+        broken = True
+    assert broken, "orc-core ignored the corrupted seek positions"
+    spark.conf.set("spark.sql.orc.filterPushdown", "false")
+    rows = (spark.read.orc(d)
+            .filter("x >= 37500 and x < 38200").collect())
+    assert len(rows) == 700 and all(r.p == (r.x * 3) % 997 for r in rows)
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+
+
+def test_int8_byte_rle_read_by_orc_cpp():
+    """tinyint DATA must be byte-RLE (not RLEv2) — ORC C++ aborts on
+    the wrong encoding."""
+    v = np.arange(3000) % 256 - 128
+    mask = np.arange(3000) % 7 == 0
+    t = pa.table({"y": pa.array(v, type=pa.int8(), mask=mask)})
+    back, _ = _roundtrip_cpp(t, row_index_stride=500)
+    _assert_equal(t, back)
+
+
+def test_bloom_streams_consumed_by_orc_core(spark):
+    """BLOOM_FILTER_UTF8 emission: honest blooms let an equality
+    pushdown return the exact row (our bit placement satisfies
+    orc-core's probes); all-zero blooms make orc-core skip every row
+    group (proving it consults the emitted bitsets)."""
+    import engine.orc_file as of
+
+    n = 40_000
+    rng = np.random.default_rng(9)
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({"id": pa.array(ids),
+                  "key": pa.array([f"doc-{int(i)}" for i in ids])})
+    target = int(ids[31337])
+    d = tempfile.mkdtemp()
+    write_orc(t, os.path.join(d, "part.orc"), row_index_stride=1000,
+              bloom_columns=("id", "key"))
+
+    d2 = tempfile.mkdtemp()
+    orig = of._bloom_index_pb
+
+    def empty_blooms(arr, col, stride, fpp):
+        out = b""
+        for _ in range(len(col.rg)):
+            out += of.pb_bytes(1, of.pb_varint(1, 3)
+                               + of.pb_bytes(3, b"\0" * 128))
+        return out
+
+    of._bloom_index_pb = empty_blooms
+    try:
+        write_orc(t, os.path.join(d2, "part.orc"), row_index_stride=1000,
+                  bloom_columns=("id", "key"))
+    finally:
+        of._bloom_index_pb = orig
+
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    good = spark.read.orc(d).filter(f"id = {target}").collect()
+    assert len(good) == 1 and good[0].key == f"doc-{target}"
+    assert spark.read.orc(d2).filter(f"id = {target}").count() == 0
+    assert (spark.read.orc(d2)
+            .filter(f"key = 'doc-{target}'").count()) == 0

@@ -309,3 +309,173 @@ def test_distributed_read_of_own_writer(spark):
     a = back.orderBy("doc_id").select("doc_id", "n_tok").toArrow()
     b = src.orderBy("doc_id").select("doc_id", "n_tok").toArrow()
     assert a.equals(b)
+
+
+# --- row-group seek + pruning via ROW_INDEX ------------------------------
+
+
+def _sorted_table(n=50_000):
+    x = np.arange(n, dtype=np.int64)
+    return pa.table({
+        "x": pa.array(x),
+        "c": pa.array(np.repeat(np.arange(n // 5000), 5000)),  # long runs
+        "nv": pa.array([None if i % 13 == 0 else int(i)
+                        for i in range(n)], type=pa.int64()),
+        "s": pa.array([f"k{i % 40}" for i in range(n)]),
+        "u": pa.array([f"unique-{i}" for i in range(n)]),
+        "toks": pa.array([[int(i) % 9] * (i % 4) for i in range(n)],
+                         type=pa.list_(pa.int32())),
+        "f": pa.array(RNG.normal(size=n)),
+        "f32": pa.array(np.arange(n, dtype=np.float32)),
+        "ts": pa.array((x - n // 2) * 10 ** 9, type=pa.timestamp("ns")),
+    })
+
+
+def _check_filtered(path, t, lo, hi, max_rows):
+    got = read_orc(path, filters=[("x", ">=", lo), ("x", "<", hi)])
+    gx = got.column("x").to_pylist()
+    # superset of the exact matches, but bounded by the surviving groups
+    assert set(range(lo, hi)).issubset(set(gx))
+    assert len(gx) <= max_rows, (len(gx), max_rows)
+    exp = t.slice(min(gx), len(gx))
+    for c in t.column_names:
+        assert got.column(c).cast(t.column(c).type).to_pylist() \
+            == exp.column(c).to_pylist(), c
+    return len(gx)
+
+
+def test_row_group_pruned_read_own_writer():
+    """filters= decodes only the statistics-surviving row groups of
+    the engine's own files (zero-skip positions)."""
+    t = _sorted_table()
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, stripe_rows=30_000, row_index_stride=1000)
+    ndec = _check_filtered(f, t, 37_500, 38_200, max_rows=2000)
+    assert ndec == 2000  # exactly groups 37+38 of stripe 2
+    os.unlink(f)
+
+
+def test_row_group_seek_cpp_written_runs_cross_boundaries():
+    """ORC C++ does NOT break runs at group boundaries, so its
+    positions carry nonzero run/bit skip states — the seek path must
+    honor them for every stream type."""
+    t = _sorted_table()
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f)          # C++ writer, stride 10000
+    ndec = _check_filtered(f, t, 23_000, 24_000, max_rows=10_000)
+    assert ndec == 10_000          # one stride of 10k
+    os.unlink(f)
+
+
+@pytest.mark.parametrize("compression", ["zlib", "snappy", "zstd"])
+def test_row_group_seek_cpp_compressed(compression):
+    """Compressed files record 2-slot stream positions (chunk offset +
+    inflated offset); seeks inflate only from the recorded chunk on."""
+    t = _sorted_table(30_000)
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, compression=compression,
+                    compression_block_size=4096)
+    _check_filtered(f, t, 23_000, 24_000, max_rows=10_000)
+    os.unlink(f)
+
+
+def test_row_group_seek_java_written(spark):
+    """Seek over orc-core-written files (zlib, Java writer's own
+    positions)."""
+    import pyspark.sql.functions as F
+    d = tempfile.mkdtemp(prefix="java_rg_")
+    (spark.range(40_000).toDF("x")
+     .withColumn("s", F.concat(F.lit("k"), (F.col("x") % 40)))
+     .withColumn("nv", F.when(F.col("x") % 13 != 0, F.col("x")))
+     .withColumn("toks", F.sequence(F.lit(0), (F.col("x") % 9).cast("int")))
+     .coalesce(1).orderBy("x")
+     .write.mode("overwrite").orc(d))
+    part = [os.path.join(d, p) for p in os.listdir(d)
+            if p.startswith("part-") and not p.endswith(".crc")][0]
+    got = read_orc(part, filters=[("x", ">=", 23_000), ("x", "<", 24_000)])
+    gx = got.column("x").to_pylist()
+    assert set(range(23_000, 24_000)).issubset(set(gx))
+    assert len(gx) < 40_000        # actually pruned
+    for r_x, r_s, r_nv, r_toks in zip(gx, got.column("s").to_pylist(),
+                                      got.column("nv").to_pylist(),
+                                      got.column("toks").to_pylist()):
+        assert r_s == f"k{r_x % 40}"
+        assert r_nv == (None if r_x % 13 == 0 else r_x)
+        assert r_toks == list(range(r_x % 9 + 1))
+
+
+def test_row_group_filters_all_pruned():
+    """A filter no row group can satisfy returns an empty table with
+    the right schema."""
+    t = _sorted_table(20_000)
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, row_index_stride=1000)
+    got = read_orc(f, filters=[("x", ">", 10 ** 9)])
+    assert got.num_rows == 0
+    assert got.column_names == t.column_names
+    os.unlink(f)
+
+
+def test_byte_rle_return_runs_positions():
+    """encode_byte_rle(return_runs) positions: decoding from
+    (run_offs[j], value skip) reproduces every suffix."""
+    from engine import rle1
+    v = np.asarray(RNG.integers(0, 4, 5000), dtype=np.uint8)
+    v[1000:3000] = 7                       # long run
+    buf, rstarts, roffs = rle1.encode_byte_rle(v, return_runs=True)
+    for k in (0, 999, 1001, 2047, 2999, 4999):
+        j = int(np.searchsorted(rstarts, k, side="right") - 1)
+        skip = k - int(rstarts[j])
+        dec = rle1.decode_byte_rle(
+            bytes(buf.tobytes()[int(roffs[j]):]), skip + (5000 - k),
+            exact=False)[skip:]
+        assert np.array_equal(dec, v[k:]), k
+
+
+def _bloom_table(n=40_000):
+    rng = np.random.default_rng(9)
+    ids = rng.permutation(n).astype(np.int64)   # unsorted: stats can't prune
+    return ids, pa.table({
+        "id": pa.array(ids),
+        "key": pa.array([f"doc-{int(i)}" for i in ids]),
+        "x": pa.array(np.arange(n, dtype=np.int64)),
+    })
+
+
+def test_bloom_pruned_read_own_writer():
+    """Equality filters on UNSORTED columns prune via the per-group
+    BLOOM_FILTER_UTF8 filters (min/max statistics are useless there);
+    an absent value prunes everything."""
+    ids, t = _bloom_table()
+    n = t.num_rows
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, row_index_stride=1000, bloom_columns=("id", "key"))
+    target = int(ids[31337])
+    got = read_orc(f, filters=[("id", "=", target)])
+    assert target in got.column("id").to_pylist()
+    assert got.num_rows < n // 4          # bloom actually pruned
+    got = read_orc(f, filters=[("key", "=", f"doc-{target}")])
+    assert f"doc-{target}" in got.column("key").to_pylist()
+    assert got.num_rows < n // 4
+    assert read_orc(f, filters=[("id", "=", 10 ** 15)]).num_rows == 0
+    os.unlink(f)
+
+
+def test_bloom_pruned_read_cpp_writer():
+    """The engine's Wang/Murmur3 hashing matches ORC C++'s bloom
+    bitsets at row-group granularity: blooms written by pyarrow prune
+    the engine's reads (bloom_filter_columns indices are flattened
+    type ids: root=0)."""
+    ids, t = _bloom_table()
+    n = t.num_rows
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, bloom_filter_columns=[1, 2],
+                    row_index_stride=1000)
+    target = int(ids[31337])
+    got = read_orc(f, filters=[("id", "=", target)])
+    assert target in got.column("id").to_pylist()
+    assert got.num_rows < n // 4
+    got = read_orc(f, filters=[("key", "=", f"doc-{target}")])
+    assert f"doc-{target}" in got.column("key").to_pylist()
+    assert got.num_rows < n // 4
+    os.unlink(f)
