@@ -68,9 +68,31 @@ CODECS: dict[str, tuple] = {
                                         filters=_LZMA_FILTERS)),
 }
 
-# zstd is the reference's default outer codec (orcconf.txt:9). The
-# python binding is absent in this sandbox; detect-and-register so real
-# deployments prefer it with no code edits (VERDICT r1 #3 / #9).
+# zstd is the reference's default outer codec (orcconf.txt:9):
+# register the `zstandard` binding when installed, else pyarrow's
+# bundled zstd codec (always shipped with pyarrow >= 4).
+def _zstd_content_size(b: bytes) -> int:
+    """Frame_Content_Size from a zstd frame header (RFC 8878 §3.1.1)
+    — pyarrow's one-shot Codec.decompress requires the exact size, and
+    every frame this module writes (one-shot compress of an in-memory
+    chunk) embeds it."""
+    if b[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("not a zstd frame")
+    fhd = b[4]
+    fcs_flag = fhd >> 6
+    single = (fhd >> 5) & 1
+    pos = 5 + (0 if single else 1)           # Window_Descriptor
+    pos += (0, 1, 2, 4)[fhd & 3]             # Dictionary_ID
+    if fcs_flag == 0:
+        if not single:
+            raise ValueError("zstd frame lacks Frame_Content_Size")
+        return b[pos]
+    if fcs_flag == 1:
+        return int.from_bytes(b[pos:pos + 2], "little") + 256
+    n = 4 if fcs_flag == 2 else 8
+    return int.from_bytes(b[pos:pos + n], "little")
+
+
 try:  # pragma: no cover - exercised only where zstandard is installed
     import zstandard as _zstd
 
@@ -79,7 +101,20 @@ try:  # pragma: no cover - exercised only where zstandard is installed
         lambda b: _zstd.ZstdDecompressor().decompress(b))
     HAVE_ZSTD = True
 except ImportError:
-    HAVE_ZSTD = False
+    try:
+        import pyarrow as _pa
+
+        if not _pa.Codec.is_available("zstd"):
+            raise ImportError("pyarrow built without zstd")
+        _ZSTD_C = _pa.Codec("zstd", compression_level=3)
+        _ZSTD_D = _pa.Codec("zstd")
+        CODECS["zstd"] = (
+            lambda b: bytes(_ZSTD_C.compress(b)),
+            lambda b: bytes(_ZSTD_D.decompress(
+                b, _zstd_content_size(bytes(b)))))
+        HAVE_ZSTD = True
+    except ImportError:
+        HAVE_ZSTD = False
 
 
 def resolve_stream_codec(codec: str, kind: str, key: str,
@@ -97,11 +132,26 @@ def resolve_stream_codec(codec: str, kind: str, key: str,
     lzma1 inflate of those entropy-reduced streams is not the decode
     bottleneck (the RLEv2 bit-unpack walk is, see BENCH.md). The
     lzma1 mapping stays.
+
+    The mapping is FIXED per profile name — a profile must resolve
+    identically forever because readers re-derive it from the name
+    stored in the blocks table. (r3 fix: the earlier detect-and-prefer
+    behavior resolved "mixed" to zstd whenever the library appeared,
+    which would mis-read every mixed table written before the install;
+    zstd now has its own profile names.) "zstd" = every stream zstd-3;
+    "mixed-zstd" = string DATA/DICT lzma1, zstd-3 elsewhere. Measured
+    (r3, interleaved A/B, F-MAIN 100k rows, 1 core, best-of-3):
+    mixed 10.098 bits/token enc 4.87 / dec 7.95 Mtok/s; zstd 10.233,
+    4.90 / 9.00; mixed-zstd 10.206, 5.48 / 8.48 — all under the
+    reference's 10.354 same-table zstd bar; mixed stays the default
+    as the smallest, zstd modes trade ~1% size for 7-13% speed.
     """
+    if codec == "mixed-zstd":
+        if kind == "str" and key in ("data", "dict"):
+            return "lzma1"
+        return "zstd"
     if codec != "mixed":
         return codec
-    if HAVE_ZSTD:
-        return "zstd"
     if kind == "str" and key in ("data", "dict"):
         return "lzma1"
     return "zlib5"

@@ -15,15 +15,16 @@ descriptor, reference-extract/orc_proto_descriptor.txt):
 
 The protobuf layer is hand-rolled (varint / length-delimited only —
 exactly what the ORC tail needs), mirroring tests/orc_tail.py's
-hand-rolled parser on the read side. Compression: NONE (the outer C1
-wrapper is this engine's block-level concern; ORC interchange files
-are written uncompressed so any reader, however minimal, can consume
-them).
+hand-rolled parser on the read side. Compression: NONE (default),
+ZLIB, or ZSTD — chunk-framed at fixed uncompressed boundaries so the
+ROW_INDEX positions stay seekable in their 2-slot compressed form
+(see :func:`_frame`).
 
 Supported column types: struct root, string (dict/direct via the
-engine selector), binary, int8/16/32/64, float32/64, date32,
+engine selector), binary, boolean, int8/16/32/64, float32/64, date32,
 timestamp[ns] (C++ pre-1970 convention, engine/types.py),
-decimal128(p,s), list<supported>. Nulls become PRESENT streams.
+decimal128(p,s), list/map/union of supported types. Nulls become
+PRESENT streams (except union: Arrow unions carry no validity).
 """
 
 from __future__ import annotations
@@ -292,6 +293,56 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
         vcol = _encode_column(
             vals.items.slice(off[0], off[-1] - off[0]), ts_conv, child_gb)
         return done(K_MAP, subtypes=[kcol, vcol], pos=pos)
+    if pa.types.is_union(t):
+        # UNION = DATA tag byte-RLE + one DENSE child writer per
+        # variant: child i holds, in row order, only the values of
+        # rows whose tag is i (UnionColumnWriter; verified against
+        # ORC C++'s own union files in tests). Arrow unions carry no
+        # top-level validity, so PRESENT is never emitted here.
+        raw_tags = np.asarray(vals.type_codes, dtype=np.int64)
+        codes = list(t.type_codes)          # logical -> positional
+        lut = np.zeros(max(codes) + 1, dtype=np.uint8)
+        for i, c in enumerate(codes):
+            lut[c] = i
+        tags = lut[raw_tags]
+        data, rstarts, roffs = rle1.encode_byte_rle(tags,
+                                                    return_runs=True)
+        streams.append((DATA, data.tobytes()))
+        pos = None
+        if index and ng:
+            j = np.searchsorted(rstarts, vgb[:-1], side="right") - 1
+            pos = [[int(roffs[k]), int(vgb[i] - rstarts[k])]
+                   for i, k in enumerate(j)]
+        dense = t.mode == "dense"
+        if dense:
+            voffs = np.asarray(vals.offsets, dtype=np.int64)
+        children = []
+        for i in range(t.num_fields):
+            m = tags == i
+            if dense:
+                child = vals.field(i).take(pa.array(voffs[m]))
+            else:
+                child = vals.field(i).filter(pa.array(m))
+            child_gb = None
+            if index:
+                child_gb = np.concatenate(
+                    ([0], np.cumsum(m, dtype=np.int64)))[vgb]
+            children.append(_encode_column(child, ts_conv, child_gb))
+        return done(K_UNION, ENC_DIRECT, subtypes=children, pos=pos)
+    if t == pa.bool_():
+        # boolean DATA is a bit stream (MSB-first bits, byte-RLE'd —
+        # the PRESENT framing); positions are [stream offset, bytes
+        # consumed in byte-RLE run, bits consumed in byte]
+        bits = np.asarray(vals, dtype=bool)
+        data, rstarts, roffs = rle1.encode_bool(bits, return_runs=True)
+        streams.append((DATA, data.tobytes()))
+        pos = None
+        if index and ng:
+            bidx = vgb[:-1] // 8
+            j = np.searchsorted(rstarts, bidx, side="right") - 1
+            pos = [[int(roffs[k]), int(bidx[i] - rstarts[k]),
+                    int(vgb[i] % 8)] for i, k in enumerate(j)]
+        return done(K_BOOLEAN, ENC_DIRECT, pos=pos)
     if t == pa.int8():
         # tinyint DATA is byte-RLE, not RLEv2 (ORC spec; orc C++
         # ByteColumnReader) — raw two's-complement bytes
@@ -446,6 +497,93 @@ def _type_tree(cols: list[_Col]) -> bytes:
     return out
 
 
+def _zlib_chunk(chunk: bytes) -> bytes:
+    import zlib
+    co = zlib.compressobj(4, zlib.DEFLATED, -15)
+    return co.compress(chunk) + co.flush()
+
+
+def _zstd_chunk(chunk: bytes) -> bytes:
+    from . import compress as C
+    if not C.HAVE_ZSTD:
+        raise ValueError("no zstd backend available in this build")
+    return C.CODECS["zstd"][0](chunk)
+
+
+_CHUNK_CODECS = {"zlib": (1, _zlib_chunk), "zstd": (5, _zstd_chunk)}
+
+
+def _frame(data: bytes, block: int,
+           codec: str = "zlib") -> tuple[bytes, np.ndarray]:
+    """Chunk-frame a region: split at FIXED ``block``-byte uncompressed
+    boundaries, compress each chunk (zlib = raw deflate, zstd =
+    frames), store the original when compression does not shrink it;
+    3-byte little-endian ``(len << 1) | isOriginal`` headers (the
+    framing every ORC reader inflates, and engine/orc_read._deframe).
+    Returns the framed bytes and the framed byte offset of every chunk
+    start — fixed-boundary chunking makes any uncompressed offset
+    ``o`` seekable as ``[cum[o // block], o % block]``, the 2-slot
+    position pair compressed ROW_INDEX entries carry."""
+    comp_fn = _CHUNK_CODECS[codec][1]
+    out = bytearray()
+    nchunks = max(1, -(-len(data) // block))
+    cum = np.zeros(nchunks + 1, dtype=np.int64)
+    for i in range(nchunks):
+        chunk = data[i * block: (i + 1) * block]
+        comp = comp_fn(chunk)
+        body, orig = (comp, 0) if len(comp) < len(chunk) else (chunk, 1)
+        out += ((len(body) << 1) | orig).to_bytes(3, "little")
+        out += body
+        cum[i + 1] = len(out)
+    return bytes(out), cum
+
+
+def _state_slots(col: _Col, kind: int) -> int:
+    """Number of decoder-state slots AFTER a stream's offset slot(s) in
+    a RowIndexEntry (mirrors engine/orc_read._RgCursor): bit streams
+    carry [byte-RLE run, bit] = 2, RLE/byte-RLE streams [values in
+    run] = 1, raw byte streams (float/string/binary/decimal DATA) 0."""
+    if kind == PRESENT:
+        return 2
+    if kind == DATA:
+        if col.kind == K_BOOLEAN:
+            return 2        # bit stream: [byte-RLE run, bit]
+        if col.kind in (K_FLOAT, K_DOUBLE, K_BINARY, K_DECIMAL):
+            return 0
+        if col.kind == K_STRING and \
+                col.encoding in (ENC_DIRECT, ENC_DIRECT_V2):
+            return 0
+        return 1            # RLEv1/v2 ints, byte-RLE tags/tinyint, ids
+    return 1                # LENGTH / SECONDARY are always RLE
+
+
+def _remap_rg_compressed(col: _Col, cums: list[np.ndarray],
+                         block: int) -> None:
+    """Rewrite a column's RowIndexEntry positions from uncompressed
+    stream offsets to compressed ``[chunk offset, offset in chunk]``
+    pairs, per stream in recorded order (``cums[i]`` = chunk-start
+    offsets of the column's i-th positioned stream)."""
+    new_rg = []
+    for pos, nv, hn, st in col.rg:
+        new = []
+        i = 0
+        si = 0
+        dict_enc = col.encoding in (ENC_DICTIONARY, ENC_DICTIONARY_V2)
+        for kind, _ in col.streams:
+            if kind == DICTIONARY_DATA or (dict_enc and kind == LENGTH):
+                continue    # dictionary streams are stripe-wide:
+                            # no positions recorded (readers load whole)
+            o = int(pos[i])
+            cum = cums[si]
+            new += [int(cum[o // block]), o % block]
+            ns = _state_slots(col, kind)
+            new += [int(p) for p in pos[i + 1: i + 1 + ns]]
+            i += 1 + ns
+            si += 1
+        new_rg.append((new, nv, hn, st))
+    col.rg = new_rg
+
+
 def _row_index_pb(col: _Col) -> bytes:
     """RowIndex message: one RowIndexEntry (positions + statistics)
     per row group (orc_proto_descriptor.txt RowIndexEntry.positions=1
@@ -500,7 +638,9 @@ def write_orc(table: pa.Table, path: str,
               timestamp_convention: str = "cpp",
               row_index_stride: int = 10_000,
               bloom_columns: tuple | list = (),
-              bloom_fpp: float = 0.01) -> None:
+              bloom_fpp: float = 0.01,
+              compression: str = "none",
+              compression_block: int = 64 * 1024) -> None:
     """Write ``table`` as an uncompressed ORC v1 file readable by ORC
     C++ / orc-core (verified via pyarrow.orc in tests).
 
@@ -522,9 +662,25 @@ def write_orc(table: pa.Table, path: str,
     group at ``bloom_fpp``) — the equality-predicate skipping surface
     for unsorted columns, where min/max statistics cannot prune.
     Requires ``row_index_stride > 0``.
+
+    ``compression``: "none" or "zlib" — zlib chunk-frames every
+    stream, index, and tail region at fixed ``compression_block``
+    uncompressed boundaries (see :func:`_frame`); ROW_INDEX positions
+    become the compressed 2-slot ``[chunk offset, offset in chunk]``
+    form, so index-aware readers still seek (verified against
+    orc-core's pushdown seeks and this engine's reader in tests).
     """
     if bloom_columns and not row_index_stride:
         raise ValueError("bloom_columns requires row_index_stride > 0")
+    if compression not in ("none", "zlib", "zstd"):
+        raise ValueError(f"unsupported compression {compression!r} "
+                         "(none|zlib|zstd)")
+    comp = compression != "none"
+    B = compression_block
+
+    def region(raw: bytes) -> bytes:
+        return _frame(raw, B, compression)[0] if comp and raw else raw
+
     table = table.combine_chunks()
     out = bytearray(MAGIC)
     stripes_pb = b""
@@ -575,6 +731,21 @@ def write_orc(table: pa.Table, path: str,
         metadata += pb_bytes(1, b"".join(
             pb_bytes(1, _col_stats_pb(c.n_values, c.has_null, c.stat))
             for c in cols))
+        if comp:
+            # frame every data stream FIRST: the per-stream chunk-start
+            # offsets rewrite the row-index positions to their 2-slot
+            # compressed form before the index region is serialized
+            for c in cols:
+                cums = []
+                framed = []
+                for kind, payload in c.streams:
+                    fb, cum = _frame(payload, B, compression)
+                    framed.append((kind, fb))
+                    if kind != DICTIONARY_DATA:
+                        cums.append(cum)
+                c.streams = framed
+                if c.rg is not None:
+                    _remap_rg_compressed(c, cums, B)
         offset = len(out)
         sf = b""
         index_len = 0
@@ -583,7 +754,7 @@ def write_orc(table: pa.Table, path: str,
             # column order, listed ahead of the data streams (ORC
             # readers locate streams by the cumulative footer lengths)
             for ci, c in enumerate(cols):
-                ri = _row_index_pb(c)
+                ri = region(_row_index_pb(c))
                 out += ri
                 index_len += len(ri)
                 sf += pb_bytes(1, pb_varint(1, ROW_INDEX) + pb_varint(2, ci)
@@ -592,8 +763,9 @@ def write_orc(table: pa.Table, path: str,
             for name in bloom_columns:
                 j = chunk.column_names.index(name)
                 c = root.subtypes[j]
-                bi = _bloom_index_pb(chunk.column(j).combine_chunks(), c,
-                                     row_index_stride, bloom_fpp)
+                bi = region(_bloom_index_pb(
+                    chunk.column(j).combine_chunks(), c,
+                    row_index_stride, bloom_fpp))
                 out += bi
                 index_len += len(bi)
                 sf += pb_bytes(1, pb_varint(1, BLOOM_FILTER_UTF8)
@@ -611,6 +783,7 @@ def write_orc(table: pa.Table, path: str,
                            + (pb_varint(2, c.dict_size)
                               if c.dict_size else b""))
         sf += pb_str(3, "UTC")
+        sf = region(sf)
         out += sf
         stripes_pb += pb_bytes(3, pb_varint(1, offset)
                                + pb_varint(2, index_len)
@@ -621,6 +794,7 @@ def write_orc(table: pa.Table, path: str,
         n_stripes += 1
 
     content_len = len(out)
+    metadata = region(metadata)
     out += metadata
     footer = pb_varint(1, len(MAGIC)) + pb_varint(2, content_len) \
         + stripes_pb + _type_tree(stats_cols or []) \
@@ -628,9 +802,11 @@ def write_orc(table: pa.Table, path: str,
     for nv, hn, st in zip(agg_nvals, agg_hasnull, agg_stat):
         footer += pb_bytes(7, _col_stats_pb(nv, hn, st))
     footer += pb_varint(8, row_index_stride)
+    footer = region(footer)
     out += footer
-    ps = pb_varint(1, len(footer)) + pb_varint(2, 0) \
-        + pb_varint(3, 64 * 1024) + pb_varint(4, 0) + pb_varint(4, 12) \
+    comp_kind = _CHUNK_CODECS[compression][0] if comp else 0
+    ps = pb_varint(1, len(footer)) + pb_varint(2, comp_kind) \
+        + pb_varint(3, B) + pb_varint(4, 0) + pb_varint(4, 12) \
         + pb_varint(5, len(metadata)) + pb_varint(6, 6) \
         + pb_bytes(8000, MAGIC)
     out += ps

@@ -255,7 +255,13 @@ class OrcFileInfo:
             return simple[k]
         if k == K_DECIMAL:
             return pa.decimal128(t.precision or 38, t.scale)
-        raise NotImplementedError(f"ORC type kind {k} (UNION?) is not "
+        if k == K_UNION:
+            # ORC stores union children densely -> dense Arrow union
+            # (field names are positional; ORC unions have none)
+            return pa.dense_union(
+                [pa.field(f"_union_{i}", self.arrow_type(s))
+                 for i, s in enumerate(t.subtypes)])
+        raise NotImplementedError(f"ORC type kind {k} is not "
                                   "readable by this reader")
 
     def schema(self) -> pa.Schema:
@@ -445,12 +451,9 @@ def row_groups_matching(dec: "_StripeDecoder",
     return keep
 
 
-def _stripe_streams(info: OrcFileInfo, si: dict):
-    """Parse one stripe's footer -> ({(col, kind): raw_slice}, encodings,
-    timezone). Slices are NOT decompressed yet — projection decides."""
-    off, ilen, dlen, flen = si[1], si[2], si[3], si[4]
-    sf = _deframe(info.data[off + ilen + dlen: off + ilen + dlen + flen],
-                  info.compression)
+def _parse_stripe_footer(sf) -> tuple[list, list, str]:
+    """Decoded StripeFooter bytes -> ([(col, kind, len)] in stream
+    order, [(enc_kind, dict_size)], writerTimezone)."""
     streams = []
     encodings = []
     tz = "UTC"
@@ -471,6 +474,16 @@ def _stripe_streams(info: OrcFileInfo, si: dict):
             encodings.append((kind, dsz))
         elif fno == 3:
             tz = v.decode()
+    return streams, encodings, tz
+
+
+def _stripe_streams(info: OrcFileInfo, si: dict):
+    """Parse one stripe's footer -> ({(col, kind): raw_slice}, encodings,
+    timezone). Slices are NOT decompressed yet — projection decides."""
+    off, ilen, dlen, flen = si[1], si[2], si[3], si[4]
+    sf = _deframe(info.data[off + ilen + dlen: off + ilen + dlen + flen],
+                  info.compression)
+    streams, encodings, tz = _parse_stripe_footer(sf)
     smap = {}
     imap = {}
     bmap = {}
@@ -579,6 +592,11 @@ class _StripeDecoder:
         t = self.info.types[col]
         pres_raw = self.smap.get((col, PRESENT))
         if pres_raw is not None:
+            if t.kind == K_UNION:
+                # Arrow union arrays carry no top-level validity, so a
+                # nullable ORC union has no faithful Arrow mapping
+                raise NotImplementedError(
+                    "nullable UNION columns are not readable")
             valid = rle1.decode_bool(self.stream(col, PRESENT), n)
             nn = int(valid.sum())
         else:
@@ -611,6 +629,11 @@ class _StripeDecoder:
             items = self.decode(t.subtypes[1], cn)
             return pa.MapArray.from_arrays(
                 pa.array(offs, type=pa.int32()), keys, items)
+        if k == K_UNION:
+            tags = rle1.decode_byte_rle(self.stream(col, DATA), nn)
+            return _union_from_parts(
+                tags, [self.decode(sub, int((tags == i).sum()))
+                       for i, sub in enumerate(t.subtypes)])
         if k == K_BOOLEAN:
             bits = rle1.decode_bool(self.stream(col, DATA), nn)
             return pa.array(bits, type=pa.bool_())
@@ -693,6 +716,9 @@ class _StripeDecoder:
         t = self.info.types[col]
         cur = _RgCursor(self, col, g)
         if (col, PRESENT) in self.smap:
+            if t.kind == K_UNION:
+                raise NotImplementedError(
+                    "nullable UNION columns are not readable")
             valid = cur.bools(PRESENT, n)
             nn = int(valid.sum())
         else:
@@ -730,6 +756,11 @@ class _StripeDecoder:
             items = self.decode_rg(t.subtypes[1], g, cn)
             return pa.MapArray.from_arrays(
                 pa.array(offs, type=pa.int32()), keys, items)
+        if k == K_UNION:
+            tags = cur.byte_rle(DATA, nn)
+            return _union_from_parts(
+                tags, [self.decode_rg(sub, g, int((tags == i).sum()))
+                       for i, sub in enumerate(t.subtypes)])
         if k == K_BOOLEAN:
             bits = cur.bools(DATA, nn)
             return pa.array(bits, type=pa.bool_())
@@ -786,6 +817,21 @@ class _StripeDecoder:
                  pa.py_buffer(data[: int(offs[-1])].tobytes())])
         raise NotImplementedError(
             f"ORC type kind {k} is not readable via row-group seek")
+
+
+def _union_from_parts(tags: np.ndarray,
+                      children: list[pa.Array]) -> pa.UnionArray:
+    """Dense Arrow union from ORC's (tag stream, dense children):
+    each row's value offset is its rank among same-tag rows."""
+    nn = tags.size
+    offsets = np.zeros(nn, dtype=np.int32)
+    for i in range(len(children)):
+        m = tags == i
+        offsets[m] = np.arange(int(m.sum()), dtype=np.int32)
+    return pa.UnionArray.from_dense(
+        pa.array(tags.view(np.int8), type=pa.int8()),
+        pa.array(offsets, type=pa.int32()), children,
+        field_names=[f"_union_{i}" for i in range(len(children))])
 
 
 class _RgCursor:
@@ -919,6 +965,119 @@ def read_orc_tail(path: str, probe: int = 64 * 1024) -> OrcFileInfo:
     return info
 
 
+class _SegmentData:
+    """Expose a sparse set of absolute-offset byte ranges as if the
+    whole file were in memory — the data object behind stream-level
+    I/O projection (only the projected columns' stream ranges were
+    actually read). Every consumer slice falls inside one segment
+    because segments are unions of whole adjacent streams; a slice
+    outside the read set raises instead of returning wrong bytes."""
+
+    __slots__ = ("starts", "ends", "bufs")
+
+    def __init__(self, segments: list[tuple[int, memoryview]]):
+        segments = sorted(segments, key=lambda s: s[0])
+        self.starts = [s for s, _ in segments]
+        self.ends = [s + len(b) for s, b in segments]
+        self.bufs = [b for _, b in segments]
+
+    def __getitem__(self, sl):
+        import bisect
+        i = bisect.bisect_right(self.starts, sl.start) - 1
+        if i < 0 or sl.stop > self.ends[i]:
+            # _stripe_streams slices EVERY stream eagerly; unprojected
+            # ones must not fail until (unless) something touches them
+            return _Unread(sl.start, sl.stop)
+        base = self.starts[i]
+        return self.bufs[i][sl.start - base: sl.stop - base]
+
+
+class _Unread:
+    """Placeholder for a stream byte range that was not read (not in
+    the projected column set). Any attempt to consume it fails loudly
+    instead of yielding wrong bytes."""
+
+    __slots__ = ("start", "stop")
+
+    def __init__(self, start: int, stop: int):
+        self.start = start
+        self.stop = stop
+
+    def _boom(self):
+        raise KeyError(
+            f"byte range [{self.start}, {self.stop}) was not read — "
+            "stream not in the projected column set")
+
+    def __bytes__(self):
+        self._boom()
+
+    def __len__(self):
+        self._boom()
+
+    def __getitem__(self, _):
+        self._boom()
+
+
+def _subtree(info: OrcFileInfo, flat: int) -> list[int]:
+    """Flat column ids of ``flat`` and every descendant (pre-order
+    numbering: a subtree is contiguous... only per spec for writers
+    that number pre-order, which all known ones do — walk explicitly
+    anyway)."""
+    out = [flat]
+    for sub in info.types[flat].subtypes:
+        out.extend(_subtree(info, sub))
+    return out
+
+
+def _stripe_window(f, info: OrcFileInfo, si: dict,
+                   sel: list[int], filters: list[tuple] | None,
+                   io_stats: dict | None = None) -> _SegmentData:
+    """Range-read ONE stripe's needed bytes: the stripe footer, the
+    projected columns' data streams, and (when filtering) their
+    ROW_INDEX plus the filter columns' bloom streams. Unprojected
+    columns' bytes are never read from the file — the I/O analog of
+    decode-side projection (a 2-of-20-column scan reads ~2/20ths)."""
+    off, ilen, dlen, flen = si[1], si[2], si[3], si[4]
+    f.seek(off + ilen + dlen)
+    sf_raw = memoryview(f.read(flen))
+    streams, _, _ = _parse_stripe_footer(_deframe(sf_raw,
+                                                  info.compression))
+    root = info.types[0]
+    need = {0}
+    for j in sel:
+        need.update(_subtree(info, root.subtypes[j]))
+    eq_cols = set()
+    if filters:
+        for (_, op, _), fc in zip(filters,
+                                  _filter_columns(info, filters)):
+            need.update(_subtree(info, fc))
+            if op in ("=", "=="):
+                eq_cols.add(fc)
+    ranges = []          # [start, stop) of needed streams, in order
+    pos = off
+    for scol, skind, slen in streams:
+        keep = scol in need and (
+            skind == ROW_INDEX and bool(filters)
+            or skind == BLOOM_FILTER_UTF8 and scol in eq_cols
+            or skind not in _INDEX_KINDS)
+        if keep and slen:
+            if ranges and ranges[-1][1] == pos:
+                ranges[-1][1] = pos + slen
+            else:
+                ranges.append([pos, pos + slen])
+        pos += slen
+    segments = [(off + ilen + dlen, sf_raw)]
+    for start, stop in ranges:
+        f.seek(start)
+        segments.append((start, memoryview(f.read(stop - start))))
+    if io_stats is not None:
+        io_stats["bytes_read"] = io_stats.get("bytes_read", 0) \
+            + flen + sum(b - a for a, b in ranges)
+        io_stats["stripe_bytes"] = io_stats.get("stripe_bytes", 0) \
+            + ilen + dlen + flen
+    return _SegmentData(segments)
+
+
 class _ShiftedData:
     """Expose a stripe's byte range as if it sat at its absolute file
     offset — _StripeDecoder/_stripe_streams slice ``info.data`` with
@@ -954,14 +1113,18 @@ def read_orc_stripes(path: str, stripe_indices: list[int],
                      columns: list[str] | None = None,
                      convention: str | None = None,
                      info: OrcFileInfo | None = None,
-                     filters: list[tuple] | None = None) -> pa.Table:
+                     filters: list[tuple] | None = None,
+                     io_stats: dict | None = None) -> pa.Table:
     """Range-read decode: touch ONLY the file tail (~KB, skipped when a
-    planning-time ``info`` is passed) plus the selected stripes' byte
-    ranges — the I/O shape a distributed reader task needs (a
-    100-stripe file split 100 ways costs each task 1/100th of the
-    bytes, not a whole-file read per task). ``filters`` additionally
-    prune and seek at row-group granularity inside each stripe (see
-    :func:`read_orc`)."""
+    planning-time ``info`` is passed) plus the selected stripes'
+    NEEDED stream byte ranges — the I/O shape a distributed reader
+    task needs (a 100-stripe file split 100 ways costs each task
+    1/100th of the bytes, not a whole-file read per task; a 2-of-N
+    column projection reads only those columns' streams, not the
+    stripe). ``filters`` additionally prune and seek at row-group
+    granularity inside each stripe (see :func:`read_orc`).
+    ``io_stats`` (a dict) accumulates {bytes_read, stripe_bytes} for
+    observability/tests."""
     import copy
     if info is None:
         info = read_orc_tail(path)
@@ -972,11 +1135,9 @@ def read_orc_stripes(path: str, stripe_indices: list[int],
     with open(path, "rb") as f:
         for i in stripe_indices:
             si = info.stripes[i]
-            off = si[1]
-            length = si[2] + si[3] + si[4]
-            f.seek(off)
             win = copy.copy(info)
-            win.data = _ShiftedData(memoryview(f.read(length)), off)
+            win.data = _stripe_window(f, info, si, sel, filters,
+                                      io_stats)
             dec = _StripeDecoder(win, si, conv)
             batches.extend(
                 _stripe_batches(dec, root, sel, out_schema, filters))

@@ -89,6 +89,8 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--stripe-rows", type=int, default=1_000_000)
     so.add_argument("--timestamp-convention", default="cpp",
                     choices=["cpp", "java"])
+    so.add_argument("--compression", default="zlib",
+                    choices=["zlib", "none"])
 
     ss = sub.add_parser("synth")
     ss.add_argument("--output", required=True)
@@ -140,7 +142,8 @@ def main(argv: list[str] | None = None) -> int:
             df = df.repartition(a.partitions)
         manifest = write_orc_dir(
             df, a.output, stripe_rows=a.stripe_rows,
-            timestamp_convention=a.timestamp_convention).collect()
+            timestamp_convention=a.timestamp_convention,
+            compression=a.compression).collect()
         print(json.dumps({"files": len(manifest),
                           "rows": sum(m["n_rows"] for m in manifest),
                           "bytes": sum(m["n_bytes"] for m in manifest)}))

@@ -275,16 +275,17 @@ def test_no_directory_mode_roundtrip():
 
 
 def test_mixed_profile_stream_codecs():
-    # mixed profile: string data/dict -> lzma1, everything else zlib5;
-    # resolution is a pure function so readers need no extra metadata
-    from engine.compress import HAVE_ZSTD, resolve_stream_codec
-    if HAVE_ZSTD:
-        assert resolve_stream_codec("mixed", "str", "data") == "zstd"
-    else:
-        assert resolve_stream_codec("mixed", "str", "data") == "lzma1"
-        assert resolve_stream_codec("mixed", "str", "dict") == "lzma1"
-        assert resolve_stream_codec("mixed", "str", "length") == "zlib5"
-        assert resolve_stream_codec("mixed", "int", "data") == "zlib5"
+    # profile resolution is a FIXED pure function of the profile name
+    # (stored in the blocks table): installing/removing a codec
+    # library must never change how an existing table reads
+    from engine.compress import resolve_stream_codec
+    assert resolve_stream_codec("mixed", "str", "data") == "lzma1"
+    assert resolve_stream_codec("mixed", "str", "dict") == "lzma1"
+    assert resolve_stream_codec("mixed", "str", "length") == "zlib5"
+    assert resolve_stream_codec("mixed", "int", "data") == "zlib5"
+    assert resolve_stream_codec("mixed-zstd", "str", "data") == "lzma1"
+    assert resolve_stream_codec("mixed-zstd", "int", "data") == "zstd"
+    assert resolve_stream_codec("zstd", "str", "data") == "zstd"
     assert resolve_stream_codec("lzma1", "str", "data") == "lzma1"
 
 
@@ -394,3 +395,22 @@ def test_tokens_blob_version_marker():
     bad["tokens"]["data"] = bytes([99]) + row["tokens"]["data"][1:]
     with pytest.raises(ValueError, match="format version 99"):
         decode_block(bad)
+
+
+def test_zstd_profiles_roundtrip():
+    """The zstd-bearing profiles round-trip bit-identically and are
+    measurably smaller than raw (pyarrow's bundled codec backs zstd
+    when the zstandard module is absent)."""
+    from engine import compress
+    if not compress.HAVE_ZSTD:
+        pytest.skip("no zstd backend in this environment")
+    from engine.blocks import decode_block, encode_batches
+    from jobs.synth import token_table
+    tbl = token_table(4000, seed=7)
+    for codec in ("zstd", "mixed-zstd"):
+        rows = [r for b in encode_batches(tbl.to_batches(), codec=codec)
+                for r in b.to_pylist()]
+        got = pa.Table.from_batches([decode_block(r) for r in rows])
+        a = got.sort_by("doc_id")
+        b = tbl.select(got.column_names).sort_by("doc_id")
+        assert a.equals(b.cast(a.schema)), codec

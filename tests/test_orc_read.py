@@ -479,3 +479,163 @@ def test_bloom_pruned_read_cpp_writer():
     assert f"doc-{target}" in got.column("key").to_pylist()
     assert got.num_rows < n // 4
     os.unlink(f)
+
+
+# --- UNION columns (tag byte-RLE + dense children) -----------------------
+
+
+def _union_table(n=25_000):
+    rng = np.random.default_rng(3)
+    tags = rng.integers(0, 3, n).astype(np.int8)
+    a = pa.array(rng.integers(-10 ** 6, 10 ** 6, n))
+    b = pa.array([f"s{i % 97}" for i in range(n)])
+    c = pa.array(rng.normal(size=n))
+    u = pa.UnionArray.from_sparse(pa.array(tags), [a, b, c])
+    children = [np.asarray(a)[tags == 0],
+                np.asarray(b.to_pandas())[tags == 1],
+                np.asarray(c)[tags == 2]]
+    return tags, children, pa.table(
+        {"u": u, "x": pa.array(np.arange(n))})
+
+
+def _assert_union(arr, tags, children):
+    arr = arr.combine_chunks()
+    assert np.array_equal(np.asarray(arr.type_codes), tags)
+    for i in range(3):
+        assert arr.field(i).to_pylist() == children[i].tolist(), i
+
+
+def test_union_roundtrip_own_writer():
+    """UNION columns (multi-stripe, indexed) roundtrip through the
+    engine's writer + reader as dense Arrow unions."""
+    tags, children, t = _union_table()
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, stripe_rows=10_000, row_index_stride=1000)
+    _assert_union(read_orc(f).column("u"), tags, children)
+    os.unlink(f)
+
+
+def test_union_read_cpp_written():
+    """ORC C++-written union files (its own positions/run states)
+    decode identically, across stripes."""
+    tags, children, t = _union_table()
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, stripe_size=64 * 1024)
+    _assert_union(read_orc(f).column("u"), tags, children)
+    os.unlink(f)
+
+
+def test_union_row_group_seek_both_writers():
+    """Row-group-pruned reads decode union columns through the seek
+    path: the tag stream's byte-RLE positions and each child's
+    positions (in child value coordinates) line up."""
+    tags, children, t = _union_table()
+    for writer in ("engine", "cpp"):
+        f = tempfile.mktemp(suffix=".orc")
+        if writer == "engine":
+            write_orc(t, f, stripe_rows=10_000, row_index_stride=1000)
+        else:
+            orc.write_table(t, f, stripe_size=64 * 1024)
+        got = read_orc(f, filters=[("x", ">=", 13_500),
+                                   ("x", "<", 14_200)])
+        gx = got.column("x").to_pylist()
+        assert set(range(13_500, 14_200)).issubset(set(gx))
+        assert len(gx) < t.num_rows, writer
+        lo, m = min(gx), len(gx)
+        sel = slice(lo, lo + m)
+        # expected children over the decoded window
+        stags = tags[sel]
+        exp = [children[0][np.cumsum(tags == 0)[lo] - (tags[lo] == 0):][
+                   :int((stags == 0).sum())],
+               children[1][np.cumsum(tags == 1)[lo] - (tags[lo] == 1):][
+                   :int((stags == 1).sum())],
+               children[2][np.cumsum(tags == 2)[lo] - (tags[lo] == 2):][
+                   :int((stags == 2).sum())]]
+        _assert_union(got.column("u"), stags, exp)
+        os.unlink(f)
+
+
+def test_union_dense_arrow_input():
+    """Dense Arrow unions (explicit value offsets, possibly permuted)
+    write correctly — ORC C++ reads them back value-for-value."""
+    tags, children, _ = _union_table(9_000)
+    tags = tags[:9_000]
+    offs = np.zeros(9_000, dtype=np.int32)
+    for i in range(3):
+        m = tags == i
+        offs[m] = np.arange(int(m.sum()), dtype=np.int32)
+    dense = pa.UnionArray.from_dense(
+        pa.array(tags), pa.array(offs),
+        [pa.array(children[0]), pa.array(children[1].tolist()),
+         pa.array(children[2])])
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(pa.table({"u": dense}), f, stripe_rows=4_000,
+              row_index_stride=500)
+    back = orc.read_table(f).column("u").combine_chunks()
+    assert np.array_equal(np.asarray(back.type_codes), tags)
+    for i in range(3):
+        vals = np.asarray(back.field(i).to_pandas())[tags == i]
+        assert vals.tolist() == children[i].tolist(), i
+    os.unlink(f)
+
+
+# --- stream-level I/O projection ------------------------------------------
+
+
+def test_io_projection_bytes_proportional():
+    """A 2-of-5-column read READS (not just decodes) only those
+    columns' stream bytes; unprojected streams are never fetched."""
+    n = 60_000
+    rng = np.random.default_rng(7)
+    t = pa.table({
+        "doc_id": pa.array([f"doc-{i:07d}" for i in range(n)]),
+        "n_tok": pa.array(np.arange(n, dtype=np.int32)),
+        "tokens": pa.array([list(range(i % 50)) for i in range(n)],
+                           type=pa.list_(pa.int32())),
+        "source": pa.array([f"src{i % 7}" for i in range(n)]),
+        "score": pa.array(rng.normal(size=n)),
+    })
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, stripe_rows=20_000, row_index_stride=1000)
+    io_all, io_two = {}, {}
+    read_orc_stripes(f, [0, 1, 2], io_stats=io_all)
+    got = read_orc_stripes(f, [0, 1, 2], columns=["doc_id", "n_tok"],
+                           io_stats=io_two)
+    assert got.column("n_tok").to_pylist() == list(range(n))
+    assert io_two["bytes_read"] < 0.35 * io_all["bytes_read"], \
+        (io_two, io_all)
+    os.unlink(f)
+
+
+def test_io_projection_cpp_compressed():
+    """Same projection I/O shape over an ORC C++ zlib file: the tiny
+    delta-coded n_tok stream is the only data range fetched."""
+    n = 60_000
+    t = pa.table({
+        "n_tok": pa.array(np.arange(n, dtype=np.int32)),
+        "tokens": pa.array([list(range(i % 50)) for i in range(n)],
+                           type=pa.list_(pa.int32())),
+    })
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, compression="zlib", stripe_size=512 * 1024)
+    info = read_orc_tail(f)
+    io = {}
+    got = read_orc_stripes(f, list(range(len(info.stripes))),
+                           columns=["n_tok"], io_stats=io)
+    assert got.column("n_tok").to_pylist() == list(range(n))
+    assert io["bytes_read"] < 0.05 * io["stripe_bytes"], io
+    os.unlink(f)
+
+
+def test_io_projection_unread_fails_loudly():
+    """Touching a stream outside the projected set raises (never
+    returns wrong bytes): simulated by asking the decoder for an
+    unprojected column through a hand-built window."""
+    from engine.orc_read import _SegmentData
+    seg = _SegmentData([(100, memoryview(b"x" * 50))])
+    assert bytes(seg[slice(120, 130)]) == b"x" * 10
+    missing = seg[slice(400, 500)]
+    with pytest.raises(KeyError, match="not read"):
+        bytes(missing)
+    with pytest.raises(KeyError, match="not read"):
+        len(missing)
