@@ -685,6 +685,64 @@ def _q_orc_rowgroup_seek(spark, sf_dir):
     return dec.select("doc_id", "n_tok")
 
 
+def _q_orc_union_file(spark, sf_dir):
+    """T8 as a *file* surface: each partition derives an ORC UNION
+    column (tag = n_tok % 2 — variant 0 carries int64 n_tok, variant 1
+    carries string doc_id), writes a real zlib .orc file with the
+    engine writer (tag byte-RLE DATA + dense per-tag children,
+    engine/orc_file.py), reads it back with the engine reader
+    (engine/orc_read.py -> dense Arrow union), and re-extracts the
+    variants to plain columns. Spark has no union type, so the union
+    lives in the file and the Arrow kernel; DuckDB recomputes the
+    extraction arithmetic directly."""
+    import os
+    import tempfile
+
+    tok = (_token_df(spark, sf_dir).select("doc_id", "n_tok")
+           .repartition(4))
+    ddl = ("doc_id string, n_tok int, u_tag int, u_int long, "
+           "u_str string")
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from engine.orc_file import write_orc
+        from engine.orc_read import read_orc
+        parts = [b for b in batches if b.num_rows]
+        if not parts:
+            return
+        tbl = pa.Table.from_batches(parts).combine_chunks()
+        ntok = np.asarray(tbl.column("n_tok"), dtype=np.int64)
+        tags = (ntok % 2).astype(np.int8)
+        u = pa.UnionArray.from_sparse(
+            pa.array(tags),
+            [pa.array(ntok),
+             tbl.column("doc_id").combine_chunks().cast(pa.string())])
+        path = tempfile.mktemp(suffix=".orc")
+        write_orc(pa.table({"doc_id": tbl.column("doc_id"),
+                            "n_tok": tbl.column("n_tok"), "u": u}),
+                  path, row_index_stride=1000, compression="zlib")
+        back = read_orc(path)
+        os.unlink(path)
+        bu = back.column("u").combine_chunks()
+        btags = np.asarray(bu.type_codes).astype(np.int64)
+        offs = np.asarray(bu.offsets, dtype=np.int64)
+        m0 = btags == 0
+        ints = np.asarray(bu.field(0), dtype=np.int64)
+        u_int = np.zeros(len(btags), dtype=np.int64)
+        u_int[m0] = ints[offs[m0]]
+        u_str = bu.field(1).take(pa.array(offs, mask=m0))
+        yield pa.record_batch(
+            [back.column("doc_id").combine_chunks(),
+             back.column("n_tok").combine_chunks(),
+             pa.array(btags.astype(np.int32)),
+             pa.array(u_int, mask=~m0), u_str],
+            names=["doc_id", "n_tok", "u_tag", "u_int", "u_str"])
+
+    return tok.mapInArrow(kernel, ddl)
+
+
 def _q_skew_spread(spark, sf_dir):
     """§2.6 skew partition planning, fully oracle-checked: the
     token-weighted range-bucket map (jobs.encode.plan_partitions,
@@ -888,6 +946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planning-time stripe pruning from Metadata statistics
         "orc_pruned_scan": _q_orc_pruned_scan,            # M1+M6 (files)
         "orc_rowgroup_seek": _q_orc_rowgroup_seek,        # M2 (files)
+        # ORC UNION columns written + read by the engine (T8, files)
+        "orc_union_file": _q_orc_union_file,
         # Structured Streaming encode surface (jobs/streaming.py)
         "streaming_roundtrip": _q_streaming_roundtrip,
         # bloom -> projection -> seek point lookups (M3 composition)
@@ -1020,6 +1080,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok
             FROM documents WHERE {_SQL_NTOK} >= 88""",
+        "orc_union_file": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok,
+                   CAST({_SQL_NTOK} % 2 AS INTEGER) AS u_tag,
+                   CASE WHEN {_SQL_NTOK} % 2 = 0
+                        THEN CAST({_SQL_NTOK} AS BIGINT) END AS u_int,
+                   CASE WHEN {_SQL_NTOK} % 2 = 1
+                        THEN CAST(doc_id AS VARCHAR) END AS u_str
+            FROM documents""",
         "streaming_roundtrip": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok,

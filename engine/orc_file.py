@@ -16,9 +16,9 @@ descriptor, reference-extract/orc_proto_descriptor.txt):
 The protobuf layer is hand-rolled (varint / length-delimited only —
 exactly what the ORC tail needs), mirroring tests/orc_tail.py's
 hand-rolled parser on the read side. Compression: NONE (default),
-ZLIB, or ZSTD — chunk-framed at fixed uncompressed boundaries so the
-ROW_INDEX positions stay seekable in their 2-slot compressed form
-(see :func:`_frame`).
+ZLIB, SNAPPY, or ZSTD — chunk-framed at fixed uncompressed boundaries
+so the ROW_INDEX positions stay seekable in their 2-slot compressed
+form (see :func:`_frame`).
 
 Supported column types: struct root, string (dict/direct via the
 engine selector), binary, boolean, int8/16/32/64, float32/64, date32,
@@ -510,7 +510,16 @@ def _zstd_chunk(chunk: bytes) -> bytes:
     return C.CODECS["zstd"][0](chunk)
 
 
-_CHUNK_CODECS = {"zlib": (1, _zlib_chunk), "zstd": (5, _zstd_chunk)}
+def _snappy_chunk(chunk: bytes) -> bytes:
+    # snappy block format embeds the uncompressed-length varint — the
+    # very property the ORC snappy reader relies on. (LZ4 raw blocks
+    # do not, and lz4 decompression needs the exact output size, so
+    # LZ4 emission is deliberately absent.)
+    return bytes(pa.Codec("snappy").compress(chunk))
+
+
+_CHUNK_CODECS = {"zlib": (1, _zlib_chunk), "snappy": (2, _snappy_chunk),
+                 "zstd": (5, _zstd_chunk)}
 
 
 def _frame(data: bytes, block: int,
@@ -672,9 +681,9 @@ def write_orc(table: pa.Table, path: str,
     """
     if bloom_columns and not row_index_stride:
         raise ValueError("bloom_columns requires row_index_stride > 0")
-    if compression not in ("none", "zlib", "zstd"):
+    if compression not in ("none", "zlib", "snappy", "zstd"):
         raise ValueError(f"unsupported compression {compression!r} "
-                         "(none|zlib|zstd)")
+                         "(none|zlib|snappy|zstd)")
     comp = compression != "none"
     B = compression_block
 

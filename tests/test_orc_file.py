@@ -325,7 +325,7 @@ def _rich_table(n=50_000):
     })
 
 
-@pytest.mark.parametrize("compression", ["zlib", "zstd"])
+@pytest.mark.parametrize("compression", ["zlib", "snappy", "zstd"])
 def test_compressed_emission_cpp_and_engine_read(compression):
     """compression='zlib'/'zstd' chunk-frames every region; ORC C++
     and the engine's own reader decode the file bit-identically at
@@ -346,7 +346,7 @@ def test_compressed_emission_cpp_and_engine_read(compression):
     os.unlink(fn)
 
 
-@pytest.mark.parametrize("compression", ["zlib", "zstd"])
+@pytest.mark.parametrize("compression", ["zlib", "snappy", "zstd"])
 def test_compressed_emission_engine_rowgroup_seek(compression):
     """The engine reader seeks row groups in its OWN compressed files
     through the 2-slot [chunk offset, offset in chunk] positions."""
