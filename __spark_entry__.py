@@ -719,7 +719,8 @@ def _q_orc_union_file(spark, sf_dir):
             pa.array(tags),
             [pa.array(ntok),
              tbl.column("doc_id").combine_chunks().cast(pa.string())])
-        path = tempfile.mktemp(suffix=".orc")
+        path = os.path.join(tempfile.mkdtemp(prefix="orc_union_"),
+                            "part.orc")
         write_orc(pa.table({"doc_id": tbl.column("doc_id"),
                             "n_tok": tbl.column("n_tok"), "u": u}),
                   path, row_index_stride=1000, compression="zlib")

@@ -570,25 +570,23 @@ def _remap_rg_compressed(col: _Col, cums: list[np.ndarray],
                          block: int) -> None:
     """Rewrite a column's RowIndexEntry positions from uncompressed
     stream offsets to compressed ``[chunk offset, offset in chunk]``
-    pairs, per stream in recorded order (``cums[i]`` = chunk-start
-    offsets of the column's i-th positioned stream)."""
+    pairs, per stream in recorded order (``cums`` = chunk-start
+    offsets, aligned 1:1 with ``col.streams``; dictionary streams are
+    skipped on both sides of the zip)."""
+    dict_enc = col.encoding in (ENC_DICTIONARY, ENC_DICTIONARY_V2)
     new_rg = []
     for pos, nv, hn, st in col.rg:
         new = []
         i = 0
-        si = 0
-        dict_enc = col.encoding in (ENC_DICTIONARY, ENC_DICTIONARY_V2)
-        for kind, _ in col.streams:
+        for (kind, _), cum in zip(col.streams, cums):
             if kind == DICTIONARY_DATA or (dict_enc and kind == LENGTH):
                 continue    # dictionary streams are stripe-wide:
                             # no positions recorded (readers load whole)
             o = int(pos[i])
-            cum = cums[si]
             new += [int(cum[o // block]), o % block]
             ns = _state_slots(col, kind)
             new += [int(p) for p in pos[i + 1: i + 1 + ns]]
             i += 1 + ns
-            si += 1
         new_rg.append((new, nv, hn, st))
     col.rg = new_rg
 
@@ -750,8 +748,7 @@ def write_orc(table: pa.Table, path: str,
                 for kind, payload in c.streams:
                     fb, cum = _frame(payload, B, compression)
                     framed.append((kind, fb))
-                    if kind != DICTIONARY_DATA:
-                        cums.append(cum)
+                    cums.append(cum)    # aligned 1:1 with streams
                 c.streams = framed
                 if c.rg is not None:
                     _remap_rg_compressed(c, cums, B)
