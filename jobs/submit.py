@@ -17,6 +17,9 @@ Then run against any cluster master:
         synth --output <parquet> --rows 1000000
     spark-submit --py-files dist/engine.zip jobs/submit.py \
         export-orc --input <parquet> --output <orc-dir>
+    spark-submit --py-files dist/engine.zip jobs/submit.py \
+        import-orc --input <orc-dir> --output <parquet> \
+        [--columns a,b] [--filter n_tok:>=:100]
 
 The zip contains the ``engine``, ``jobs`` and ``pipeline`` packages —
 no data, no state; executors import kernels from it.
@@ -90,7 +93,20 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--timestamp-convention", default="cpp",
                     choices=["cpp", "java"])
     so.add_argument("--compression", default="zlib",
-                    choices=["zlib", "none"])
+                    choices=["zlib", "snappy", "zstd", "none"])
+
+    si = sub.add_parser("import-orc")
+    si.add_argument("--input", required=True)
+    si.add_argument("--output", required=True)
+    si.add_argument("--columns", default=None,
+                    help="comma-separated projection (streams of other "
+                         "columns are never read)")
+    si.add_argument("--filter", action="append", default=[],
+                    metavar="COL:OP:VALUE",
+                    help="pushdown predicate, repeatable (ops: = < <= "
+                         "> >= is_null not_null); pruned at stripe AND "
+                         "row-group tiers, re-applied exactly")
+    si.add_argument("--parallelism", type=int, default=None)
 
     ss = sub.add_parser("synth")
     ss.add_argument("--output", required=True)
@@ -147,6 +163,31 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"files": len(manifest),
                           "rows": sum(m["n_rows"] for m in manifest),
                           "bytes": sum(m["n_bytes"] for m in manifest)}))
+        return 0
+
+    if a.cmd == "import-orc":
+        # distributed ingestion of ORC files/dirs via the engine's own
+        # reader (jobs/orc_read.py): tail-only planning, stripe-range
+        # + stream-projected byte reads, three-tier filter pushdown
+        spark = _spark("orc-format-spark-import-orc")
+        from jobs.orc_read import read_orc_dir
+        cols = a.columns.split(",") if a.columns else None
+        filters = []
+        for spec in a.filter:
+            parts = spec.split(":", 2)
+            if len(parts) == 2:        # col:is_null / col:not_null
+                name, op = parts
+                val = None
+            else:
+                name, op, v = parts
+                val = int(v) if v.lstrip("-").isdigit() else v
+            filters.append((name, op, val))
+        df = read_orc_dir(spark, a.input, columns=cols,
+                          parallelism=a.parallelism,
+                          filters=filters or None)
+        df.write.mode("overwrite").parquet(a.output)
+        n = spark.read.parquet(a.output).count()
+        print(json.dumps({"rows": n, "output": a.output}))
         return 0
 
     if a.cmd == "synth":
