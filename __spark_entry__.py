@@ -835,9 +835,12 @@ def _q_point_lookup(spark, sf_dir):
     encode_table(spark, tok, out, num_partitions=4, resume=False,
                  codec="mixed")
     ids = [r["doc_id"] for r in _docs(spark, sf_dir)
-           .where(F.col("n_chars") % 499 == 7)
+           .where(F.col("n_chars") % 97 == 7)
            .select(F.col("doc_id").cast("string").alias("doc_id"))
            .collect()]
+    # a vacuous 0-row lookup would "pass" without exercising the
+    # bloom -> projection -> seek composition; refuse to run one
+    assert len(ids) > 0, "point_lookup id set is empty at this scale"
     got = lookup_doc_ids(spark, out, ids)
     return got.select(
         "doc_id", "n_tok",
@@ -1099,7 +1102,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok,
                    CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
-            FROM documents WHERE n_chars % 499 = 7""",
+            FROM documents WHERE n_chars % 97 = 7""",
         "verify_report": """
             SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
                    CAST(COUNT(*) AS BIGINT) AS rows_out,

@@ -70,8 +70,12 @@ def plan_orc_splits(spark: SparkSession, files: list[str],
             for p in batch.column("path").to_pylist():
                 info = read_orc_tail(p)
                 keep = stripes_matching(info, filters)
+                # type= matters: for a fully-pruned file keep == [] and
+                # an untyped pa.array([]) infers null type, producing a
+                # batch whose schema differs from sibling batches
+                # (ArrowInvalid at the mapInArrow writer)
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array([p] * len(keep)),
+                    [pa.array([p] * len(keep), type=pa.string()),
                      pa.array(keep, type=pa.int64()),
                      pa.array([info.stripes[i][5] for i in keep],
                               type=pa.int64())],

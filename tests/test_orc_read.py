@@ -199,6 +199,31 @@ def test_stripe_pruning_reads_java_stats(spark):
     assert {r["s"] for r in got.collect()} == want
 
 
+def test_fully_pruned_file_emits_typed_empty_batch(spark):
+    """A range-sorted multi-file layout where the filter statistics-
+    prunes EVERY stripe of some files: plan_orc_splits must still emit
+    schema-consistent (string-typed path) batches for those files —
+    the round-3 ArrowInvalid regression (jobs/orc_read.py tails)."""
+    from jobs.orc_read import plan_orc_splits, read_orc_dir
+    from pyspark.sql import functions as F
+    n = 4000
+    df = (spark.range(n)
+          .withColumn("s", F.format_string("k%06d", F.col("id"))))
+    out = tempfile.mkdtemp(prefix="prune_all_orc_")
+    (df.repartitionByRange(4, "id").sortWithinPartitions("id")
+       .write.mode("overwrite").option("orc.stripe.size", 65536)
+       .orc(out))
+    # predicate matched only by the last file: first 3 files fully pruned
+    filters = [("id", ">=", n - 100)]
+    files = sorted(os.path.join(out, p) for p in os.listdir(out)
+                   if p.startswith("part-") and not p.endswith(".crc"))
+    splits = plan_orc_splits(spark, files, filters).collect()
+    assert {r["path"] for r in splits} < set(files)  # some file pruned
+    got = read_orc_dir(spark, out, columns=["id", "s"], filters=filters)
+    assert got.count() == 100
+    assert got.agg(F.min("id")).first()[0] == n - 100
+
+
 # --- orc-core Java (spark.write.orc) interop --------------------------
 
 
