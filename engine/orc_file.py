@@ -253,7 +253,16 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
                 pos = [[] for _ in range(ng)]
             rg = [(pres_pos[g] + pos[g], int(nn_g[g]), bool(hn_g[g]),
                    stat_g[g]) for g in range(ng)]
-            if stat is None:
+            # only aggregate when EVERY group with values produced a
+            # stat: a non-empty group with stat=None means the type
+            # deliberately omitted it (floats with NaN — ORC omits
+            # min/max for the whole stripe then); aggregating over the
+            # remaining groups would write a min/max that excludes the
+            # NaN-bearing groups' values and filters would silently
+            # drop matching rows
+            if stat is None and all(
+                    stat_g[g] is not None or nn_g[g] == 0
+                    for g in range(ng)):
                 stat = _agg_stats(stat_g)
         return _Col(kind, streams, encoding, n_values=nv, has_null=hn,
                     stat=stat, rg=rg, **kw)
@@ -648,8 +657,8 @@ def write_orc(table: pa.Table, path: str,
               bloom_fpp: float = 0.01,
               compression: str = "none",
               compression_block: int = 64 * 1024) -> None:
-    """Write ``table`` as an uncompressed ORC v1 file readable by ORC
-    C++ / orc-core (verified via pyarrow.orc in tests).
+    """Write ``table`` as an ORC v1 file readable by ORC C++ /
+    orc-core (verified via pyarrow.orc in tests).
 
     ``timestamp_convention``: pre-1970 sub-second layout — "cpp"
     (default, ORC C++ signed nanos) or "java" (orc-core positive
@@ -670,9 +679,10 @@ def write_orc(table: pa.Table, path: str,
     for unsorted columns, where min/max statistics cannot prune.
     Requires ``row_index_stride > 0``.
 
-    ``compression``: "none" or "zlib" — zlib chunk-frames every
-    stream, index, and tail region at fixed ``compression_block``
-    uncompressed boundaries (see :func:`_frame`); ROW_INDEX positions
+    ``compression``: "none", "zlib", "snappy", or "zstd" — the codec
+    chunk-frames every stream, index, and tail region at fixed
+    ``compression_block`` uncompressed boundaries (see
+    :func:`_frame`); ROW_INDEX positions
     become the compressed 2-slot ``[chunk offset, offset in chunk]``
     form, so index-aware readers still seek (verified against
     orc-core's pushdown seeks and this engine's reader in tests).
@@ -725,10 +735,20 @@ def write_orc(table: pa.Table, path: str,
             agg_nvals = [0] * len(cols)
             agg_hasnull = [False] * len(cols)
             agg_stat = [None] * len(cols)
+            stat_poisoned = [False] * len(cols)
         for i, c in enumerate(cols):
             agg_nvals[i] += c.n_values
             agg_hasnull[i] = agg_hasnull[i] or c.has_null
-            if c.stat is not None:
+            # a stripe WITH values but WITHOUT a stat deliberately
+            # omitted it (floats with NaN); a file min/max built from
+            # the other stripes would exclude this stripe's values and
+            # stats-based filters would silently drop matching rows —
+            # omit the file stat entirely, like ORC writers do
+            if c.stat is None and c.n_values > 0:
+                stat_poisoned[i] = True
+            if stat_poisoned[i]:
+                agg_stat[i] = None
+            elif c.stat is not None:
                 if agg_stat[i] is None:
                     agg_stat[i] = c.stat
                 else:

@@ -396,17 +396,26 @@ def _stats_may_match(st: dict | None, op: str, val) -> bool:
     raise ValueError(f"unsupported filter op {op!r}")
 
 
-def _bloom_may_match(bf, val) -> bool:
-    """Probe one bloom filter with an equality literal (hash family
-    per literal type: Wang mix for ints, orc Murmur3 for strings)."""
-    if isinstance(val, str):
+def _bloom_may_match(bf, val, kind: int) -> bool:
+    """Probe one bloom filter with an equality literal. The hash
+    family is keyed off the COLUMN kind (orc Murmur3 utf8 for string
+    kinds, Wang long mix for int/date kinds) and the probe only runs
+    when the literal's type matches it — a type-mismatched literal
+    (int 42 vs a string column) returns True, mirroring
+    _stats_may_match's keep-on-mismatch conservatism instead of
+    pruning rows Spark's cast-based exact re-filter would match."""
+    if kind in (K_STRING, K_VARCHAR, K_CHAR):
+        if not isinstance(val, str):
+            return True
         b = val.encode()
         return bool(bf.test_strings(
             np.frombuffer(b, dtype=np.uint8),
             np.array([len(b)], dtype=np.int64))[0])
-    if isinstance(val, bool) or not isinstance(val, (int, np.integer)):
-        return True
-    return bool(bf.test_longs(np.array([val], dtype=np.int64))[0])
+    if kind in (K_BYTE, K_SHORT, K_INT, K_LONG, K_DATE):
+        if isinstance(val, bool) or not isinstance(val, (int, np.integer)):
+            return True
+        return bool(bf.test_longs(np.array([val], dtype=np.int64))[0])
+    return True
 
 
 def row_groups_matching(dec: "_StripeDecoder",
@@ -443,7 +452,8 @@ def row_groups_matching(dec: "_StripeDecoder",
             bf = blooms.get(f)
             if bf is not None and op in ("=", "==") \
                     and bf[g] is not None \
-                    and not _bloom_may_match(bf[g], val):
+                    and not _bloom_may_match(bf[g], val,
+                                             info.types[f].kind):
                 ok = False
                 break
         if ok:

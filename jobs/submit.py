@@ -50,6 +50,35 @@ def package(repo_root: str | None = None, out: str | None = None) -> str:
     return out
 
 
+def _type_filter_literals(input_path: str,
+                          filters: list[tuple]) -> list[tuple]:
+    """Coerce string CLI literals to the filter column's ORC kind
+    (probed from the first file's tail): int for integer/date kinds,
+    float for float/double, str for string kinds. Unknown columns or
+    kinds pass through unchanged (read_orc_dir raises/keeps)."""
+    if not filters:
+        return filters
+    import pyarrow as pa
+    from engine.orc_read import read_orc_tail
+    from jobs.orc_read import list_orc_files
+    schema = read_orc_tail(list_orc_files(input_path)[0]).schema()
+    typed = []
+    for name, op, val in filters:
+        i = schema.get_field_index(name)
+        if val is None or i < 0:
+            typed.append((name, op, val))
+            continue
+        t = schema.field(i).type
+        if pa.types.is_integer(t) or pa.types.is_date(t):
+            val = int(val)
+        elif pa.types.is_floating(t):
+            val = float(val)
+        else:
+            val = str(val)
+        typed.append((name, op, val))
+    return typed
+
+
 def _spark(app: str):
     from pyspark.sql import SparkSession
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
@@ -180,11 +209,16 @@ def main(argv: list[str] | None = None) -> int:
                 val = None
             else:
                 name, op, v = parts
-                val = int(v) if v.lstrip("-").isdigit() else v
+                val = v
             filters.append((name, op, val))
+        # type the literals against the FILE schema, not the string's
+        # shape: an auto-int'd literal on a string column would feed a
+        # type-mismatched value into the pruning tiers (and digit-only
+        # string keys / float literals were inexpressible before)
+        filters = _type_filter_literals(a.input, filters) or None
         df = read_orc_dir(spark, a.input, columns=cols,
                           parallelism=a.parallelism,
-                          filters=filters or None)
+                          filters=filters)
         df.write.mode("overwrite").parquet(a.output)
         n = spark.read.parquet(a.output).count()
         print(json.dumps({"rows": n, "output": a.output}))

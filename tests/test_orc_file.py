@@ -441,3 +441,44 @@ def test_boolean_column_both_codecs(spark):
     assert len(rows) == 700
     for r, i in zip(rows, range(7500, 8200)):
         assert r.ok == (None if i % 11 == 0 else bool(b[i])), i
+
+
+def test_nan_stripe_stats_omitted(spark):
+    """Floats with NaN: ORC writers omit min/max at EVERY granularity
+    that contains the NaN. A stripe/file stat aggregated only over the
+    NaN-free row groups would under-report max and stats-filters would
+    silently drop real rows (rows 0..2999, NaN at 2500, f > 2600)."""
+    from engine.orc_read import (read_orc, read_orc_tail,
+                                 stripes_matching)
+    v = np.arange(3000, dtype=np.float64)
+    v[2500] = np.nan
+    t = pa.table({"f": v})
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, stripe_rows=3000, row_index_stride=1000)
+    info = read_orc_tail(f)
+    # the stripe must NOT be pruned (its stat must be absent, not
+    # built from groups 0-1 whose max is 1999)
+    assert stripes_matching(info, [("f", ">", 2600.0)]) == [0]
+    # read_orc returns a SUPERSET (exact filter applies downstream);
+    # the defect was that the matching rows were MISSING entirely
+    got = set(read_orc(f, filters=[("f", ">", 2600.0)])
+              .column("f").to_pylist())
+    assert set(np.arange(2601, 3000, dtype=np.float64)) <= got
+    # Spark's own pushdown on the same file must see the rows too
+    d = tempfile.mkdtemp()
+    write_orc(t, os.path.join(d, "p.orc"), stripe_rows=3000,
+              row_index_stride=1000)
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    # 399 reals + the NaN (Spark orders NaN above every double)
+    assert spark.read.orc(d).filter("f > 2600").count() == 400
+    # multi-stripe: the NaN stripe poisons the FILE stat, but the
+    # NaN-free stripes keep theirs (stripe pruning still works)
+    f2 = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f2, stripe_rows=1000, row_index_stride=500)
+    info2 = read_orc_tail(f2)
+    assert stripes_matching(info2, [("f", ">", 2600.0)]) == [2]
+    got2 = set(read_orc(f2, filters=[("f", ">", 2600.0)])
+               .column("f").to_pylist())
+    assert set(np.arange(2601, 3000, dtype=np.float64)) <= got2
+    os.unlink(f)
+    os.unlink(f2)

@@ -483,6 +483,12 @@ def test_bloom_pruned_read_own_writer():
     assert f"doc-{target}" in got.column("key").to_pylist()
     assert got.num_rows < n // 4
     assert read_orc(f, filters=[("id", "=", 10 ** 15)]).num_rows == 0
+    # type-mismatched literal vs the COLUMN kind must not probe the
+    # bloom at all (int literal / string column and vice versa would
+    # hash with the wrong family and prune every group to 0 rows);
+    # stats can't prune an unsorted column either, so everything stays
+    assert read_orc(f, filters=[("key", "=", target)]).num_rows == n
+    assert read_orc(f, filters=[("id", "=", "doc-1")]).num_rows == n
     os.unlink(f)
 
 

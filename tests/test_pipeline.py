@@ -253,3 +253,40 @@ def test_submit_decode_selective(spark, token_parquet, tmp_path):
     want = (spark.read.parquet(token_parquet)
             .where(F.col("n_tok") >= 10).count())
     assert got.where(F.col("n_tok") >= 10).count() == want
+
+
+def test_submit_import_orc_typed_filters(spark, token_parquet, tmp_path):
+    # import-orc CLI: filter literals typed against the FILE schema —
+    # a digit-only literal on a STRING column must stay a string (the
+    # old auto-int fed a type-mismatched literal into bloom pruning),
+    # and numeric literals on int columns still coerce
+    import glob
+
+    from jobs.submit import main as submit_main
+    orcdir = str(tmp_path / "orcdir")
+    rc = submit_main(["export-orc", "--input", token_parquet,
+                      "--output", orcdir, "--partitions", "2"])
+    assert rc == 0
+    out = str(tmp_path / "imp")
+    rc = submit_main(["import-orc", "--input", orcdir, "--output", out,
+                      "--columns", "doc_id,n_tok",
+                      "--filter", "n_tok:>=:100"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+    want = (spark.read.parquet(token_parquet)
+            .where(F.col("n_tok") >= 100).count())
+    assert got.count() == want and want > 0
+    # string column + digit literal: typed as str, exact filter works
+    some_id = spark.read.parquet(token_parquet).first()["doc_id"]
+    out2 = str(tmp_path / "imp2")
+    rc = submit_main(["import-orc", "--input", orcdir, "--output", out2,
+                      "--filter", f"doc_id:=:{some_id}"])
+    assert rc == 0
+    assert spark.read.parquet(out2).count() == 1
+    # the regression shape: a digit-only literal on a STRING column
+    # stays str; numeric strings on int columns coerce to int
+    from jobs.submit import _type_filter_literals
+    typed = _type_filter_literals(
+        orcdir, [("doc_id", "=", "123"), ("n_tok", ">=", "100")])
+    assert typed == [("doc_id", "=", "123"), ("n_tok", ">=", 100)]
