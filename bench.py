@@ -28,6 +28,32 @@ import sys
 import time
 
 
+def _host_counters() -> dict:
+    """Whole-host CPU split (seconds) + page-fault counts from /proc.
+    Sampled before/after each scaling leg so a degraded window (this
+    box's serialized ~1ms major-fault path, rival load) is visible in
+    the shipped JSON, not just in a separate probe."""
+    out = {"cpu_user_s": 0.0, "cpu_sys_s": 0.0, "cpu_idle_s": 0.0,
+           "cpu_iowait_s": 0.0, "pgfault": 0, "pgmajfault": 0}
+    try:
+        hz = os.sysconf("SC_CLK_TCK")
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # cpu user nice system idle iowait ...
+        out["cpu_user_s"] = (int(parts[1]) + int(parts[2])) / hz
+        out["cpu_sys_s"] = int(parts[3]) / hz
+        out["cpu_idle_s"] = int(parts[4]) / hz
+        out["cpu_iowait_s"] = int(parts[5]) / hz
+        with open("/proc/vmstat") as f:
+            for line in f:
+                k, _, v = line.partition(" ")
+                if k in ("pgfault", "pgmajfault"):
+                    out[k] = int(v)
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     if base.startswith("sf"):
@@ -224,18 +250,59 @@ def main():
     big = min(cores, 4)
     small = max(1, big // 4)
     n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3"))
-    thr: dict[int, list[float]] = {small: [], big: []}
-    pair_eff: list[float] = []
-    for i in range(n_pairs):
-        # alternate leg order per pair: monotonic host drift then
-        # biases alternate pairs in opposite directions and cancels
-        # in the median instead of crediting one leg systematically
-        legs = (small, big) if i % 2 == 0 else (big, small)
-        for c in legs:
-            rr = run_pipeline(c, srows, verify=False, rounds=1)
-            thr[c].append(rr["n_values"]
-                          / (rr["encode_s"] + rr["decode_s"]))
-        pair_eff.append((thr[big][-1] / thr[small][-1]) / (big / small))
+
+    def run_pairs():
+        thr: dict[int, list[float]] = {small: [], big: []}
+        pair_eff: list[float] = []
+        legs_out: list[dict] = []
+        for i in range(n_pairs):
+            # alternate leg order per pair: monotonic host drift then
+            # biases alternate pairs in opposite directions and cancels
+            # in the median instead of crediting one leg systematically
+            legs = (small, big) if i % 2 == 0 else (big, small)
+            for c in legs:
+                h0 = _host_counters()
+                t0 = time.time()
+                rr = run_pipeline(c, srows, verify=False, rounds=1)
+                wall = time.time() - t0
+                h1 = _host_counters()
+                thr[c].append(rr["n_values"]
+                              / (rr["encode_s"] + rr["decode_s"]))
+                # per-leg forensics: whole-host CPU split + fault
+                # counts over the leg window, so a degraded window
+                # (serialized major-fault path, rival load) is
+                # attributable from this JSON alone
+                legs_out.append({
+                    "cores": c, "wall_s": round(wall, 2),
+                    "mtok_s": round(thr[c][-1] / 1e6, 2),
+                    **{k: round(h1[k] - h0[k], 2) if isinstance(
+                        h1[k], float) else h1[k] - h0[k]
+                       for k in h0},
+                })
+            pair_eff.append(
+                (thr[big][-1] / thr[small][-1]) / (big / small))
+        return thr, pair_eff, legs_out
+
+    thr, pair_eff, legs_out = run_pairs()
+
+    def flagged(pe):
+        # median > 1 is physically impossible for true scaling; a
+        # max/min pair spread > 1.5 means the host window moved more
+        # between legs than the parallelism did (r3 shipped 0.535 with
+        # spread 0.496-0.946 unflagged — that was noise as signal)
+        return (statistics.median(pe) > 1.0
+                or max(pe) / min(pe) > 1.5)
+
+    reran = False
+    if flagged(pair_eff):
+        # one re-run when flagged: keep whichever set is self-
+        # consistent (smaller spread); if both are noisy, ship the
+        # honest flag rather than a meaningless headline
+        reran = True
+        thr2, pair_eff2, legs_out2 = run_pairs()
+        if (max(pair_eff2) / min(pair_eff2)
+                < max(pair_eff) / min(pair_eff)):
+            thr, pair_eff, legs_out = thr2, pair_eff2, legs_out2
     eff_median = statistics.median(pair_eff)
     result["scaling"] = {
         "cores_small": small, "cores_big": big, "rows": srows,
@@ -248,10 +315,15 @@ def main():
             "max": round(max(pair_eff), 3),
             "n": n_pairs,
         },
-        "noise_dominated": eff_median > 1.0,
+        "noise_dominated": flagged(pair_eff),
+        "reran_on_noise": reran,
+        "legs": legs_out,
         "protocol": "same job, same input, live-measured this run; "
                     "median of interleaved (small,big) pair ratios "
-                    "with spread; median>1 flags noise",
+                    "with spread; median>1 OR pair spread>1.5 flags "
+                    "noise and triggers ONE re-run (smaller-spread "
+                    "set kept); per-leg host cpu/fault deltas "
+                    "attribute degraded windows",
     }
 
     # kernel-probe curve: the encode kernel alone under fork-based
