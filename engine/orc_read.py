@@ -125,10 +125,17 @@ def _chunk_decomp(comp_kind: int):
                                      compression="zstd")
             return stream.read()
         return zstd
+    if comp_kind == COMP_LZ4:
+        # raw LZ4 blocks carry no content size; the block format is
+        # self-terminating, so engine/lz4.py decodes to the exact
+        # uncompressed bytes (read-compatibility path — the writer
+        # deliberately emits only zlib/snappy/zstd)
+        from engine.lz4 import decompress_block
+        return decompress_block
     raise NotImplementedError(
-        f"ORC compression kind {comp_kind} (LZO/LZ4/BROTLI) is not "
+        f"ORC compression kind {comp_kind} (LZO/BROTLI) is not "
         "supported by this reader; rewrite the file with "
-        "zlib/snappy/zstd/none")
+        "lz4/zlib/snappy/zstd/none")
 
 
 def _deframe(buf, comp_kind: int) -> bytes:

@@ -670,3 +670,66 @@ def test_io_projection_unread_fails_loudly():
         bytes(missing)
     with pytest.raises(KeyError, match="not read"):
         len(missing)
+
+
+# --- LZ4 chunk codec (read-compatibility path) ------------------------
+
+
+def test_lz4_block_decoder_vs_pyarrow():
+    """engine/lz4.py decodes pyarrow's lz4_raw blocks exactly,
+    including overlap (offset<matchlen) and literal-only tails."""
+    from engine.lz4 import decompress_block
+    c = pa.Codec("lz4_raw")
+    cases = [b"", b"a", b"ab" * 40000,            # RLE overlap path
+             bytes(range(256)) * 7,               # literal-heavy
+             b"x" * 15 + b"unique-tail"]
+    rng = np.random.default_rng(17)
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        cases.append(r.integers(0, 40, int(r.integers(1, 300000)))
+                     .astype(np.uint8).tobytes())
+    for data in cases:
+        assert decompress_block(c.compress(data).to_pybytes()) == data
+    with pytest.raises(ValueError):
+        decompress_block(c.compress(b"q" * 5000).to_pybytes(),
+                         max_size=100)
+
+
+def test_lz4_orc_read_cpp_writer():
+    """ORC C++ lz4 files read bit-identically through the engine
+    reader, including filter pushdown through lz4-framed row indexes."""
+    from engine.orc_read import read_orc
+    rng = np.random.default_rng(5)
+    n = 60_000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(-10**6, 10**6, n)),
+        "s": pa.array([f"doc-{i % 997:05d}" for i in range(n)]),
+    })
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, compression="lz4", row_index_stride=2000,
+                    stripe_size=256 * 1024)
+    back = read_orc(f)
+    for c in t.column_names:
+        assert back.column(c).to_pylist() == t.column(c).to_pylist(), c
+    got = read_orc(f, filters=[("k", ">=", n - 3000)])
+    assert set(range(n - 3000, n)) <= set(got.column("k").to_pylist())
+    assert got.num_rows < n // 4      # pruning worked through lz4
+    os.unlink(f)
+
+
+def test_lz4_orc_read_java_writer(spark):
+    """orc-core (Spark) lz4 files through the distributed reader."""
+    from jobs.orc_read import read_orc_dir
+    from pyspark.sql import functions as F
+    n = 20_000
+    df = (spark.range(n)
+          .withColumn("s", F.format_string("key%07d", F.col("id"))))
+    out = tempfile.mkdtemp(prefix="lz4_orc_")
+    df.coalesce(2).write.mode("overwrite") \
+        .option("compression", "lz4").orc(out)
+    got = read_orc_dir(spark, out)
+    assert got.count() == n
+    assert (got.agg(F.sum("id")).first()[0] == n * (n - 1) // 2)
+    assert (got.where(F.col("s") == "key0012345").first()["id"]
+            == 12345)
