@@ -354,22 +354,55 @@ def stripes_matching(info: OrcFileInfo,
     stats = info.stripe_stats()
     if not stats or len(stats) != len(info.stripes):
         return every
-    flat = _filter_columns(info, filters)
+    res = _resolved_filters(info, filters)
     return [s for s, cols in enumerate(stats)
             if all(_stats_may_match(
                 cols[f] if f < len(cols) else {}, op, val)
-                for (_, op, val), f in zip(filters, flat))]
+                for (_, op, val), f in res)]
 
 
 def _filter_columns(info: OrcFileInfo, filters: list[tuple]) -> list[int]:
-    """Flattened column index for each filter's top-level column."""
+    """Flattened type-tree column id for each filter's column.
+
+    A dotted name (``meta.score``) resolves through nested STRUCT
+    levels to the leaf's flattened id — stripe statistics, ROW_INDEX
+    entries, and bloom filters are all kept per flattened column, so
+    every pruning tier works on nested fields exactly as on top-level
+    ones. An exact top-level field wins over a path interpretation
+    (a column literally named ``"a.b"``), matching Spark's resolution
+    order.
+    """
     root = info.types[0]
     pos = {n: i for i, n in enumerate(root.field_names)}
     out = []
     for name, _, _ in filters:
-        if name not in pos:
-            raise KeyError(f"filter column {name!r} not in schema")
-        out.append(root.subtypes[pos[name]])
+        if name in pos:
+            out.append(root.subtypes[pos[name]])
+            continue
+        t = 0
+        for part in name.split("."):
+            ty = info.types[t]
+            if ty.kind != K_STRUCT or part not in ty.field_names:
+                raise KeyError(f"filter column {name!r} not in schema")
+            t = ty.subtypes[ty.field_names.index(part)]
+        out.append(t)
+    return out
+
+
+def _resolved_filters(info: OrcFileInfo, filters: list[tuple]
+                      ) -> list[tuple[tuple, int]]:
+    """[(filter, flat_id)] for the filters whose column resolves in
+    THIS file's schema. An unresolvable column (a member of a
+    schema-evolved directory that predates the column) contributes no
+    pruning — the conservative keep — instead of raising; the jobs
+    layer validates projection names against the probed schema
+    driver-side, so a mistyped name still errors there."""
+    out = []
+    for flt in filters:
+        try:
+            out.append((flt, _filter_columns(info, [flt])[0]))
+        except KeyError:
+            pass
     return out
 
 
@@ -437,22 +470,24 @@ def row_groups_matching(dec: "_StripeDecoder",
     if not filters or not stride or not dec.imap:
         return None
     ng = -(-dec.n_rows // stride)
-    flat = _filter_columns(info, filters)
+    res = _resolved_filters(info, filters)
+    if not res:
+        return None
     try:
-        idx = {f: dec.row_index(f) for f in set(flat)}
+        idx = {f: dec.row_index(f) for f in {f for _, f in res}}
     except KeyError:
         return None
     if any(len(e) != ng for e in idx.values()):
         return None
     blooms = {}
-    for (_, op, _), f in zip(filters, flat):
+    for (_, op, _), f in res:
         if op in ("=", "==") and f not in blooms:
             bl_ = dec.bloom_index(f)
             blooms[f] = bl_ if bl_ and len(bl_) == ng else None
     keep = []
     for g in range(ng):
         ok = True
-        for (_, op, val), f in zip(filters, flat):
+        for (_, op, val), f in res:
             if not _stats_may_match(idx[f][g]["stats"], op, val):
                 ok = False
                 break
@@ -1064,17 +1099,16 @@ def _stripe_window(f, info: OrcFileInfo, si: dict,
     for j in sel:
         need.update(_subtree(info, root.subtypes[j]))
     eq_cols = set()
-    if filters:
-        for (_, op, _), fc in zip(filters,
-                                  _filter_columns(info, filters)):
-            need.update(_subtree(info, fc))
-            if op in ("=", "=="):
-                eq_cols.add(fc)
+    res = _resolved_filters(info, filters) if filters else []
+    for (_, op, _), fc in res:
+        need.update(_subtree(info, fc))
+        if op in ("=", "=="):
+            eq_cols.add(fc)
     ranges = []          # [start, stop) of needed streams, in order
     pos = off
     for scol, skind, slen in streams:
         keep = scol in need and (
-            skind == ROW_INDEX and bool(filters)
+            skind == ROW_INDEX and bool(res)
             or skind == BLOOM_FILTER_UTF8 and scol in eq_cols
             or skind not in _INDEX_KINDS)
         if keep and slen:

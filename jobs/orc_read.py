@@ -88,12 +88,20 @@ def read_orc_dir(spark: SparkSession, path: str,
                  columns: list[str] | None = None,
                  convention: str | None = None,
                  parallelism: int | None = None,
-                 filters: list[tuple] | None = None) -> DataFrame:
+                 filters: list[tuple] | None = None,
+                 allow_missing_columns: bool = False) -> DataFrame:
     """Read a directory of ORC files as a DataFrame with this
     engine's decoders. ``convention`` pins the pre-1970 timestamp
     convention (default: keyed per file off ``Footer.writer``,
     engine/orc_read.py). Schemas must agree across files (checked in
-    the decode tasks against the driver-probed first tail).
+    the decode tasks against the driver-probed first tail), unless
+    ``allow_missing_columns`` is set: then a file lacking a projected
+    column fills it with typed nulls — the spark.read.orc
+    ``mergeSchema`` ergonomics for a directory written by an evolving
+    job (columns added over time). The column's TYPE still must agree
+    where present; the driver-probed first tail is the reference, so
+    point ``columns`` at the union schema (or probe the newest file
+    first) when schemas differ.
 
     ``filters``: [(column, op, literal)] conjunction pushed down in
     THREE tiers — planning drops statistics-precluded stripes before
@@ -104,15 +112,19 @@ def read_orc_dir(spark: SparkSession, path: str,
     predicates re-apply as an exact Spark filter on the decoded rows,
     so the result is exact, not a superset. Filter columns are
     auto-added to the decode projection if missing from ``columns``
-    (and pruned from the result).
+    (and pruned from the result); a dotted filter column
+    (``meta.score``) prunes on the nested field's own statistics and
+    projects its top-level root struct.
     """
     files = list_orc_files(path)
     from engine.orc_read import read_orc_tail
     arrow_schema = read_orc_tail(files[0]).schema()
     out_columns = columns
     if columns is not None and filters:
-        columns = columns + [f[0] for f in filters
-                             if f[0] not in columns]
+        # a nested filter column projects its top-level root struct
+        roots = [f[0] if arrow_schema.get_field_index(f[0]) >= 0
+                 else f[0].split(".")[0] for f in filters]
+        columns = columns + [r for r in roots if r not in columns]
     if columns is not None:
         missing = [c for c in columns if arrow_schema.get_field_index(c) < 0]
         if missing:
@@ -133,6 +145,8 @@ def read_orc_dir(spark: SparkSession, path: str,
     n_dec = parallelism or spark.sparkContext.defaultParallelism
 
     def decode(batches):
+        import pyarrow as pa
+
         from engine.orc_read import read_orc_stripes, read_orc_tail
         by_path: dict[str, list[int]] = {}
         for batch in batches:
@@ -141,13 +155,24 @@ def read_orc_dir(spark: SparkSession, path: str,
         for p, stripes in sorted(by_path.items()):
             info = read_orc_tail(p)
             got = info.types[0].field_names
-            if [c for c in names if c not in got]:
+            absent = [c for c in names if c not in got]
+            if absent and not allow_missing_columns:
                 raise ValueError(
-                    f"{p}: ORC schema {got} lacks projected {names}")
-            tbl = read_orc_stripes(p, sorted(stripes), columns=names,
+                    f"{p}: ORC schema {got} lacks projected {names}; "
+                    "pass allow_missing_columns=True to null-fill "
+                    "columns this file predates")
+            tbl = read_orc_stripes(p, sorted(stripes),
+                                   columns=[c for c in names
+                                            if c not in absent],
                                    convention=convention, info=info,
                                    filters=filters)
-            yield from tbl.cast(target).to_batches()
+            for c in absent:
+                # typed nulls at the probed schema's type: the standard
+                # added-column semantics (rows predate the column)
+                tbl = tbl.append_column(
+                    target.field(c),
+                    pa.nulls(len(tbl), target.field(c).type))
+            yield from tbl.select(names).cast(target).to_batches()
 
     out = splits.repartition(n_dec).mapInArrow(decode, spark_schema)
     if filters:

@@ -55,6 +55,15 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(docs, max_hamming=10, family="md5")
 
 
+def q_dedup_simhash_stats(spark, sf_dir):
+    # cap telemetry for the SimHash banding (the no-silent-caps rule):
+    # how many (band, bucket) cells exist and how many the MAX_BUCKET
+    # cap drops — DuckDB recomputes the whole md5-family pipeline
+    from pipeline.dedup import simhash_band_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_band_stats(docs, family="md5")
+
+
 def q_dedup_embedding(spark, sf_dir):
     from pipeline.dedup import embedding_near_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -143,6 +152,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_stats": q_dedup_simhash_stats,
     "dedup_embedding_cosine": q_dedup_embedding,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_lsh_bucketed": q_ann_lsh,
@@ -201,9 +211,10 @@ _SQL_MINHASH = f"""
             / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.3"""
 
 # 128-bit signature (all 32 md5 hex digits), 4 x 32-bit bands — the
-# scale-safe band space (pipeline/dedup.py SIMHASH_BITS)
-_SQL_SIMHASH = r"""
-    WITH w AS (SELECT doc_id,
+# scale-safe band space (pipeline/dedup.py SIMHASH_BITS); shared by
+# the pair query and the cap-telemetry query
+_SQL_SIMHASH_SIG = r"""
+    w AS (SELECT doc_id,
                  regexp_split_to_array(trim(text), '\s+') AS words
                FROM documents),
     v AS (SELECT doc_id,
@@ -216,7 +227,10 @@ _SQL_SIMHASH = r"""
     s AS (SELECT doc_id,
             array_to_string(list_transform(votes,
               x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS sig
-          FROM v),
+          FROM v)"""
+
+_SQL_SIMHASH = f"""
+    WITH {_SQL_SIMHASH_SIG},
     bands AS (SELECT doc_id, sig, r.b AS band,
                      substr(sig, 1 + r.b * 32, 32) AS bucket
               FROM s CROSS JOIN range(0, 4) r(b)),
@@ -234,6 +248,22 @@ _SQL_SIMHASH = r"""
     WHERE CAST(list_sum(list_transform(range(1, 129), i ->
             CASE WHEN substr(sig_a, i, 1) = substr(sig_b, i, 1)
                  THEN 0 ELSE 1 END)) AS INTEGER) <= 10"""
+
+# the no-silent-caps rule as an oracle row: DuckDB recomputes the
+# band/bucket cells and how many the MAX_BUCKET (=64) cap would drop
+_SQL_SIMHASH_STATS = f"""
+    WITH {_SQL_SIMHASH_SIG},
+    bands AS (SELECT doc_id, r.b AS band,
+                     substr(sig, 1 + r.b * 32, 32) AS bucket
+              FROM s CROSS JOIN range(0, 4) r(b)),
+    sz AS (SELECT band, bucket, count(*) AS sz
+           FROM bands GROUP BY band, bucket)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(COALESCE(sum(CASE WHEN sz > 64 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_dropped_buckets,
+           CAST(COALESCE(sum(CASE WHEN sz > 64 THEN sz ELSE 0 END), 0)
+                AS BIGINT) AS n_docs_in_dropped
+    FROM sz"""
 
 _SQL_ANN_LSH = """
     WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -283,6 +313,7 @@ ORACLES = {
     "mm_resize": _SQL_MM_RESIZE,
     "dedup_minhash_lsh": _SQL_MINHASH,
     "dedup_simhash": _SQL_SIMHASH,
+    "dedup_simhash_stats": _SQL_SIMHASH_STATS,
     "ann_lsh_bucketed": _SQL_ANN_LSH,
     "mm_decode_stub": _SQL_MM_STUB,
     "dedup_exact": """

@@ -159,9 +159,11 @@ def test_stripe_stats_and_pruning_own_writer():
     # conjunction with disjoint ranges prunes everything
     assert stripes_matching(info, [("k", ">=", 9000),
                                    ("k", "<", 1000)]) == []
-    # unknown column raises; type-mismatched literal keeps all
-    with pytest.raises(KeyError):
-        stripes_matching(info, [("nope", "=", 1)])
+    # a column this FILE lacks contributes no pruning (conservative
+    # keep — the schema-evolved-directory contract; misuse still
+    # raises driver-side, see read_orc_dir's projection check and
+    # _filter_columns); type-mismatched literal keeps all
+    assert len(stripes_matching(info, [("nope", "=", 1)])) == 10
     assert len(stripes_matching(info, [("k", "=", "str")])) == 10
     # all-null stripes: comparisons drop, is_null keeps
     t2 = pa.table({"x": pa.array([None] * 50 + list(range(50)),
@@ -733,3 +735,153 @@ def test_lz4_orc_read_java_writer(spark):
     assert (got.agg(F.sum("id")).first()[0] == n * (n - 1) // 2)
     assert (got.where(F.col("s") == "key0012345").first()["id"]
             == 12345)
+
+
+# --- nested-field filter pushdown -------------------------------------
+
+
+def _nested_table(n=50_000):
+    order = np.arange(n, dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array([f"doc-{i:07d}" for i in order]),
+        "meta": pa.array(
+            [{"score": int(i), "tag": f"t{int(i) % 13}"} for i in order],
+            type=pa.struct([("score", pa.int64()), ("tag", pa.string())])),
+    })
+
+
+def test_nested_filter_stripe_pruning_cpp_writer():
+    """A dotted filter (meta.score) resolves through the type tree to
+    the nested leaf's flattened column id, so planning-time stripe
+    pruning works on struct members of ORC C++ files."""
+    from engine.orc_read import read_orc_tail, stripes_matching
+    t = _nested_table()
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, stripe_size=128 * 1024)
+    info = read_orc_tail(f)
+    assert len(info.stripes) > 2
+    keep = stripes_matching(info, [("meta.score", ">=", 48_000)])
+    assert 0 < len(keep) < len(info.stripes)
+    got = read_orc(f, filters=[("meta.score", ">=", 48_000)])
+    scores = [m["score"] for m in got.column("meta").to_pylist()]
+    assert set(range(48_000, 50_000)) <= set(scores)
+    assert got.num_rows < t.num_rows // 2
+    os.unlink(f)
+
+
+def test_nested_filter_row_group_seek_cpp_writer():
+    """Row-group pruning + seek keyed off a nested field's own
+    ROW_INDEX statistics (single stripe makes that tier the only
+    pruning surface)."""
+    t = _nested_table(30_000)
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, row_index_stride=1000)
+    got = read_orc(f, filters=[("meta.score", ">=", 27_500),
+                               ("meta.score", "<", 28_100)])
+    scores = [m["score"] for m in got.column("meta").to_pylist()]
+    assert set(range(27_500, 28_100)) <= set(scores)
+    assert got.num_rows <= 2000       # exactly groups 27+28
+    os.unlink(f)
+
+
+def test_nested_filter_distributed_java_writer(spark):
+    """orc-core-written struct columns prune on nested statistics
+    through the distributed reader, and the exact residual filter
+    applies Spark-side (dotted F.col resolves the nested field)."""
+    from jobs.orc_read import plan_orc_splits, read_orc_dir
+    from pyspark.sql import functions as F
+    n = 60_000
+    df = (spark.range(n).withColumn(
+        "meta", F.struct(F.col("id").alias("score"),
+                         F.format_string("t%02d", F.col("id") % 7)
+                         .alias("tag"))).drop("id"))
+    out = tempfile.mkdtemp(prefix="nested_orc_")
+    (df.repartitionByRange(4, "meta.score")
+       .sortWithinPartitions("meta.score")
+       .write.mode("overwrite").option("orc.stripe.size", 65536)
+       .orc(out))
+    files = sorted(os.path.join(out, p) for p in os.listdir(out)
+                   if p.startswith("part-") and not p.endswith(".crc"))
+    total = plan_orc_splits(spark, files).count()
+    pruned = plan_orc_splits(
+        spark, files, [("meta.score", ">=", n - 4000)]).count()
+    assert pruned < total
+    got = read_orc_dir(spark, out, columns=["meta"],
+                       filters=[("meta.score", ">=", n - 4000)])
+    assert got.columns == ["meta"]
+    assert got.count() == 4000
+    assert got.agg(F.min("meta.score")).first()[0] == n - 4000
+
+
+def test_nested_filter_unknown_path_raises():
+    from engine.orc_read import _filter_columns, read_orc_tail
+    t = _nested_table(100)
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f)
+    info = read_orc_tail(f)
+    assert _filter_columns(info, [("meta.score", ">", 0)])
+    with pytest.raises(KeyError):
+        _filter_columns(info, [("meta.nope", ">", 0)])
+    with pytest.raises(KeyError):
+        _filter_columns(info, [("doc_id.x", ">", 0)])
+    os.unlink(f)
+
+
+# --- schema evolution: missing-column null-fill -----------------------
+
+
+def _two_schema_dir():
+    """0_new.orc has (id, s, extra); 1_old.orc predates `extra`. The
+    name order makes the driver probe the union (newest) schema."""
+    d = tempfile.mkdtemp(prefix="evolve_orc_")
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    orc.write_table(pa.table({
+        "id": pa.array(ids + n),
+        "s": pa.array([f"new-{i}" for i in ids]),
+        "extra": pa.array(ids * 2),
+    }), os.path.join(d, "0_new.orc"))
+    orc.write_table(pa.table({
+        "id": pa.array(ids),
+        "s": pa.array([f"old-{i}" for i in ids]),
+    }), os.path.join(d, "1_old.orc"))
+    return d, n
+
+
+def test_missing_column_raises_by_default(spark):
+    from jobs.orc_read import read_orc_dir
+    d, n = _two_schema_dir()
+    with pytest.raises(Exception, match="allow_missing_columns"):
+        read_orc_dir(spark, d, columns=["id", "extra"]).count()
+
+
+def test_missing_column_null_fill(spark):
+    from jobs.orc_read import read_orc_dir
+    from pyspark.sql import functions as F
+    d, n = _two_schema_dir()
+    got = read_orc_dir(spark, d, columns=["id", "s", "extra"],
+                       allow_missing_columns=True)
+    assert got.count() == 2 * n
+    # old-file rows carry typed nulls, new-file rows their values
+    assert got.where(F.col("extra").isNull()).count() == n
+    assert got.where("extra = 84").first()["id"] == n + 42
+    assert dict(got.dtypes)["extra"] == "bigint"
+
+
+def test_missing_column_filter_semantics(spark):
+    """A comparison filter on the added column drops rows that predate
+    it (null -> false), while is_null keeps exactly those — and the
+    planning tier must not raise on the old file's schema."""
+    from jobs.orc_read import read_orc_dir
+    from pyspark.sql import functions as F
+    d, n = _two_schema_dir()
+    got = read_orc_dir(spark, d, columns=["id"],
+                       filters=[("extra", ">=", 0)],
+                       allow_missing_columns=True)
+    assert got.count() == n
+    assert got.agg(F.min("id")).first()[0] == n
+    kept = read_orc_dir(spark, d, columns=["id"],
+                        filters=[("extra", "is_null", None)],
+                        allow_missing_columns=True)
+    assert kept.count() == n
+    assert kept.agg(F.max("id")).first()[0] == n - 1
