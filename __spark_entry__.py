@@ -744,6 +744,37 @@ def _q_orc_union_file(spark, sf_dir):
     return tok.mapInArrow(kernel, ddl)
 
 
+def _q_orc_lz4_interop(spark, sf_dir):
+    """LZ4 chunk codec, both directions, cross-implementation: the
+    engine writer emits raw-LZ4-block chunk frames (engine/orc_file.py
+    _lz4_chunk) that orc-core (spark.read.orc) inflates, and the
+    engine's dependency-free LZ4 block decoder (engine/lz4.py) reads
+    orc-core-written lz4 files through the distributed reader
+    (jobs/orc_read.py). The join matches per-row sums from BOTH
+    directions against the oracle derivation — a mismatch in either
+    codec path breaks the row."""
+    import tempfile
+
+    from jobs.orc_read import read_orc_dir
+    from jobs.orc_write import write_orc_dir
+
+    tok = _token_df(spark, sf_dir).repartition(4)
+    emit = tempfile.mkdtemp(prefix="lz4_emit_")
+    write_orc_dir(tok, emit, compression="lz4").collect()
+    via_java = spark.read.orc(emit).select(
+        "doc_id",
+        F.aggregate("tokens", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("tok_sum_w"))
+    ingest = tempfile.mkdtemp(prefix="lz4_ingest_")
+    tok.write.mode("overwrite").option("compression", "lz4").orc(ingest)
+    via_engine = read_orc_dir(spark, ingest).select(
+        "doc_id", "n_tok",
+        F.aggregate("tokens", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("tok_sum_r"))
+    return via_java.join(via_engine, "doc_id").select(
+        "doc_id", "n_tok", "tok_sum_w", "tok_sum_r")
+
+
 def _q_skew_spread(spark, sf_dir):
     """§2.6 skew partition planning, fully oracle-checked: the
     token-weighted range-bucket map (jobs.encode.plan_partitions,
@@ -950,6 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planning-time stripe pruning from Metadata statistics
         "orc_pruned_scan": _q_orc_pruned_scan,            # M1+M6 (files)
         "orc_rowgroup_seek": _q_orc_rowgroup_seek,        # M2 (files)
+        # LZ4 chunk codec both directions (engine write -> orc-core
+        # read; orc-core write -> engine read)
+        "orc_lz4_interop": _q_orc_lz4_interop,            # C1 (lz4)
         # ORC UNION columns written + read by the engine (T8, files)
         "orc_union_file": _q_orc_union_file,
         # Structured Streaming encode surface (jobs/streaming.py)
@@ -1075,6 +1109,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok,
                    CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
+            FROM documents""",
+        "orc_lz4_interop": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok,
+                   CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum_w,
+                   CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum_r
             FROM documents""",
         "orc_pruned_scan": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

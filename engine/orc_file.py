@@ -521,14 +521,21 @@ def _zstd_chunk(chunk: bytes) -> bytes:
 
 def _snappy_chunk(chunk: bytes) -> bytes:
     # snappy block format embeds the uncompressed-length varint — the
-    # very property the ORC snappy reader relies on. (LZ4 raw blocks
-    # do not, and lz4 decompression needs the exact output size, so
-    # LZ4 emission is deliberately absent.)
+    # property the ORC snappy reader relies on
     return bytes(pa.Codec("snappy").compress(chunk))
 
 
+def _lz4_chunk(chunk: bytes) -> bytes:
+    # raw LZ4 block: no frame header, no embedded content size — ORC
+    # readers need neither (the 3-byte chunk header bounds the
+    # compressed bytes, compressionBlockSize bounds the inflated
+    # size, and the block format is self-terminating); orc-core's
+    # Lz4Codec, ORC C++, and engine/lz4.py all decode it
+    return bytes(pa.Codec("lz4_raw").compress(chunk))
+
+
 _CHUNK_CODECS = {"zlib": (1, _zlib_chunk), "snappy": (2, _snappy_chunk),
-                 "zstd": (5, _zstd_chunk)}
+                 "lz4": (4, _lz4_chunk), "zstd": (5, _zstd_chunk)}
 
 
 def _frame(data: bytes, block: int,
@@ -679,7 +686,8 @@ def write_orc(table: pa.Table, path: str,
     for unsorted columns, where min/max statistics cannot prune.
     Requires ``row_index_stride > 0``.
 
-    ``compression``: "none", "zlib", "snappy", or "zstd" — the codec
+    ``compression``: "none", "zlib", "snappy", "lz4", or "zstd" — the
+    codec
     chunk-frames every stream, index, and tail region at fixed
     ``compression_block`` uncompressed boundaries (see
     :func:`_frame`); ROW_INDEX positions
@@ -689,9 +697,9 @@ def write_orc(table: pa.Table, path: str,
     """
     if bloom_columns and not row_index_stride:
         raise ValueError("bloom_columns requires row_index_stride > 0")
-    if compression not in ("none", "zlib", "snappy", "zstd"):
+    if compression not in ("none", "zlib", "snappy", "lz4", "zstd"):
         raise ValueError(f"unsupported compression {compression!r} "
-                         "(none|zlib|snappy|zstd)")
+                         "(none|zlib|snappy|lz4|zstd)")
     comp = compression != "none"
     B = compression_block
 

@@ -122,7 +122,7 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--timestamp-convention", default="cpp",
                     choices=["cpp", "java"])
     so.add_argument("--compression", default="zlib",
-                    choices=["zlib", "snappy", "zstd", "none"])
+                    choices=["zlib", "snappy", "lz4", "zstd", "none"])
 
     si = sub.add_parser("import-orc")
     si.add_argument("--input", required=True)

@@ -325,7 +325,8 @@ def _rich_table(n=50_000):
     })
 
 
-@pytest.mark.parametrize("compression", ["zlib", "snappy", "zstd"])
+@pytest.mark.parametrize("compression", ["zlib", "snappy", "lz4",
+                                         "zstd"])
 def test_compressed_emission_cpp_and_engine_read(compression):
     """compression='zlib'/'zstd' chunk-frames every region; ORC C++
     and the engine's own reader decode the file bit-identically at
@@ -346,7 +347,8 @@ def test_compressed_emission_cpp_and_engine_read(compression):
     os.unlink(fn)
 
 
-@pytest.mark.parametrize("compression", ["zlib", "snappy", "zstd"])
+@pytest.mark.parametrize("compression", ["zlib", "snappy", "lz4",
+                                         "zstd"])
 def test_compressed_emission_engine_rowgroup_seek(compression):
     """The engine reader seeks row groups in its OWN compressed files
     through the 2-slot [chunk offset, offset in chunk] positions."""
@@ -366,7 +368,7 @@ def test_compressed_emission_engine_rowgroup_seek(compression):
     os.unlink(f)
 
 
-@pytest.mark.parametrize("compression", ["zlib", "zstd"])
+@pytest.mark.parametrize("compression", ["zlib", "lz4", "zstd"])
 def test_compressed_emission_orc_core_pushdown_seek(spark, compression):
     """orc-core (Spark) seeks via the COMPRESSED positions the writer
     records — a pushed range filter over a compressed multi-column
