@@ -534,8 +534,19 @@ def _lz4_chunk(chunk: bytes) -> bytes:
     return bytes(pa.Codec("lz4_raw").compress(chunk))
 
 
+def _brotli_chunk(chunk: bytes) -> bytes:
+    # standard brotli stream, the format orc-core's BrotliCodec
+    # (brotli4j) emits and inflates. The only CompressionKind with no
+    # independent ORC writer in this sandbox (no brotli4j jar, no
+    # pyarrow.orc brotli) — the chunk bodies themselves are verified
+    # against pyarrow's brotli codec, and the framing is the same
+    # 3-byte-header path every other codec exercises cross-impl.
+    return bytes(pa.Codec("brotli").compress(chunk))
+
+
 _CHUNK_CODECS = {"zlib": (1, _zlib_chunk), "snappy": (2, _snappy_chunk),
-                 "lz4": (4, _lz4_chunk), "zstd": (5, _zstd_chunk)}
+                 "lz4": (4, _lz4_chunk), "zstd": (5, _zstd_chunk),
+                 "brotli": (6, _brotli_chunk)}
 
 
 def _frame(data: bytes, block: int,
@@ -686,8 +697,8 @@ def write_orc(table: pa.Table, path: str,
     for unsorted columns, where min/max statistics cannot prune.
     Requires ``row_index_stride > 0``.
 
-    ``compression``: "none", "zlib", "snappy", "lz4", or "zstd" — the
-    codec
+    ``compression``: "none", "zlib", "snappy", "lz4", "zstd", or
+    "brotli" — the codec
     chunk-frames every stream, index, and tail region at fixed
     ``compression_block`` uncompressed boundaries (see
     :func:`_frame`); ROW_INDEX positions
@@ -697,9 +708,10 @@ def write_orc(table: pa.Table, path: str,
     """
     if bloom_columns and not row_index_stride:
         raise ValueError("bloom_columns requires row_index_stride > 0")
-    if compression not in ("none", "zlib", "snappy", "lz4", "zstd"):
+    if compression not in ("none", "zlib", "snappy", "lz4", "zstd",
+                           "brotli"):
         raise ValueError(f"unsupported compression {compression!r} "
-                         "(none|zlib|snappy|lz4|zstd)")
+                         "(none|zlib|snappy|lz4|zstd|brotli)")
     comp = compression != "none"
     B = compression_block
 

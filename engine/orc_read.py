@@ -128,14 +128,27 @@ def _chunk_decomp(comp_kind: int):
     if comp_kind == COMP_LZ4:
         # raw LZ4 blocks carry no content size; the block format is
         # self-terminating, so engine/lz4.py decodes to the exact
-        # uncompressed bytes (read-compatibility path — the writer
-        # deliberately emits only zlib/snappy/zstd)
+        # uncompressed bytes
         from engine.lz4 import decompress_block
         return decompress_block
+    if comp_kind == COMP_LZO:
+        # raw LZO1X streams (orc-core/aircompressor): also
+        # self-terminating — explicit end-of-stream instruction
+        from engine.lzo import decompress_block
+        return decompress_block
+    if comp_kind == COMP_BROTLI:
+        # standard self-terminating brotli streams (orc-core's
+        # BrotliCodec/brotli4j); streamed like zstd since pyarrow's
+        # buffer API would need the exact content size
+        def brotli(b):
+            stream = pa.input_stream(pa.BufferReader(bytes(b)),
+                                     compression="brotli")
+            return stream.read()
+        return brotli
     raise NotImplementedError(
-        f"ORC compression kind {comp_kind} (LZO/BROTLI) is not "
-        "supported by this reader; rewrite the file with "
-        "lz4/zlib/snappy/zstd/none")
+        f"ORC compression kind {comp_kind} is not supported by this "
+        "reader; rewrite the file with "
+        "lzo/lz4/zlib/snappy/zstd/brotli/none")
 
 
 def _deframe(buf, comp_kind: int) -> bytes:

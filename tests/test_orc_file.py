@@ -484,3 +484,32 @@ def test_nan_stripe_stats_omitted(spark):
     assert set(np.arange(2601, 3000, dtype=np.float64)) <= got2
     os.unlink(f)
     os.unlink(f2)
+
+
+def test_brotli_emission_engine_roundtrip():
+    """compression='brotli' (CompressionKind 6): engine write + read,
+    row-group seek through the brotli chunk framing. No independent
+    ORC brotli implementation exists in this sandbox (no brotli4j,
+    pyarrow's ORC build predates kind 6), so this codec is the one
+    without cross-impl coverage — the chunk bodies are standard
+    brotli streams via pyarrow's codec and the framing is the same
+    path every other codec exercises cross-impl."""
+    from engine.orc_read import read_orc, read_orc_tail
+    t = _rich_table()
+    fz = tempfile.mktemp(suffix=".orc")
+    fn = tempfile.mktemp(suffix=".orc")
+    write_orc(t, fz, stripe_rows=30_000, row_index_stride=1000,
+              compression="brotli")
+    write_orc(t, fn, stripe_rows=30_000, row_index_stride=1000)
+    assert read_orc_tail(fz).compression == 6
+    assert os.path.getsize(fz) < 0.6 * os.path.getsize(fn)
+    back = read_orc(fz)
+    for c in t.column_names:
+        assert back.column(c).cast(t.column(c).type).to_pylist() \
+            == t.column(c).to_pylist(), c
+    got = read_orc(fz, filters=[("x", ">=", 37_500), ("x", "<", 38_200)])
+    gx = got.column("x").to_pylist()
+    assert set(range(37_500, 38_200)).issubset(set(gx))
+    assert len(gx) == 2000
+    os.unlink(fz)
+    os.unlink(fn)

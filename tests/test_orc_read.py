@@ -885,3 +885,40 @@ def test_missing_column_filter_semantics(spark):
                         allow_missing_columns=True)
     assert kept.count() == n
     assert kept.agg(F.max("id")).first()[0] == n - 1
+
+
+def test_lzo_orc_read_java_writer(spark):
+    """orc-core (aircompressor) LZO files — the engine's pure-Python
+    LZO1X block decoder (engine/lzo.py) reads them bit-identically,
+    including row-group seeks through the LZO chunk framing and the
+    distributed reader."""
+    from engine.orc_read import read_orc, read_orc_tail
+    from jobs.orc_read import read_orc_dir
+    from pyspark.sql import functions as F
+    n = 40_000
+    df = (spark.range(n).toDF("x")
+          .withColumn("s", F.concat(F.lit("key"), F.col("x") % 997))
+          .withColumn("nv", F.when(F.col("x") % 13 != 0, F.col("x")))
+          .withColumn("toks",
+                      F.sequence(F.lit(0), (F.col("x") % 9).cast("int"))))
+    out = tempfile.mkdtemp(prefix="lzo_orc_")
+    (df.coalesce(1).orderBy("x").write.mode("overwrite")
+       .option("compression", "lzo").orc(out))
+    part = [os.path.join(out, p) for p in os.listdir(out)
+            if p.startswith("part-") and not p.endswith(".crc")][0]
+    assert read_orc_tail(part).compression == 3    # LZO kind
+    t = read_orc(part)
+    assert t.num_rows == n
+    for x, s, nv, toks in zip(t.column("x").to_pylist(),
+                              t.column("s").to_pylist(),
+                              t.column("nv").to_pylist(),
+                              t.column("toks").to_pylist()):
+        assert s == f"key{x % 997}"
+        assert nv == (None if x % 13 == 0 else x)
+        assert toks == list(range(x % 9 + 1))
+    got = read_orc(part, filters=[("x", ">=", n - 3000)])
+    assert set(range(n - 3000, n)) <= set(got.column("x").to_pylist())
+    assert got.num_rows < n // 2
+    dec = read_orc_dir(spark, out)
+    assert dec.count() == n
+    assert dec.agg(F.sum("x")).first()[0] == n * (n - 1) // 2
