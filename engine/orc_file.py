@@ -47,6 +47,7 @@ ENC_DIRECT, ENC_DICTIONARY, ENC_DIRECT_V2, ENC_DICTIONARY_V2 = range(4)
 K_BOOLEAN, K_BYTE, K_SHORT, K_INT, K_LONG, K_FLOAT, K_DOUBLE, K_STRING, \
     K_BINARY, K_TIMESTAMP, K_LIST, K_MAP, K_STRUCT, K_UNION, K_DECIMAL, \
     K_DATE = range(16)
+K_TIMESTAMP_INSTANT = 18  # VARCHAR=16, CHAR=17 are handled pre-encode
 
 
 # --- minimal protobuf writer ----------------------------------------------
@@ -90,7 +91,7 @@ def pb_double(field: int, x: float) -> bytes:
 
 
 # ColumnStatistics sub-message field per stat kind
-STAT_INT, STAT_DOUBLE, STAT_STRING, STAT_DATE = 2, 3, 4, 7
+STAT_INT, STAT_DOUBLE, STAT_STRING, STAT_DATE, STAT_TS = 2, 3, 4, 7, 9
 
 
 def _stat_sub(stat) -> bytes:
@@ -100,6 +101,16 @@ def _stat_sub(stat) -> bytes:
         body = pb_svarint(1, mn) + pb_svarint(2, mx)
     elif fno == STAT_DOUBLE:
         body = pb_double(1, mn) + pb_double(2, mx)
+    elif fno == STAT_TS:
+        # TimestampStatistics from epoch NANOS: minimum/maximum_utc
+        # (fields 3/4) carry the millisecond floor, minimum/maximum_
+        # nanos (fields 5/6) the sub-millisecond nanos + 1 — the
+        # timezone-unambiguous form modern ORC writers emit (the
+        # writer-local fields 1/2 are deliberately omitted)
+        mn_ms, mn_sub = divmod(mn, 10 ** 6)
+        mx_ms, mx_sub = divmod(mx, 10 ** 6)
+        body = (pb_svarint(3, mn_ms) + pb_svarint(4, mx_ms)
+                + pb_varint(5, mn_sub + 1) + pb_varint(6, mx_sub + 1))
     else:
         body = pb_str(1, mn) + pb_str(2, mx)
     return pb_bytes(fno, body)
@@ -183,7 +194,8 @@ def _int_stats(v: np.ndarray, vgb: np.ndarray, fno: int) -> list:
 
 
 def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
-                   gb: np.ndarray | None = None) -> _Col:
+                   gb: np.ndarray | None = None,
+                   ts_instant: bool = False) -> _Col:
     """Encode one column, optionally segmented at row-group boundaries.
 
     ``gb``: row-group boundaries in THIS column's row coordinates
@@ -272,7 +284,7 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
         # (TreeWriterBase semantics) — take children from the
         # null-stripped array so their row space matches vgb
         children = [_encode_column(vals.field(i), ts_conv,
-                                   vgb if index else None)
+                                   vgb if index else None, ts_instant)
                     for i in range(t.num_fields)]
         return done(K_STRUCT, ENC_DIRECT, subtypes=children,
                     field_names=[t.field(i).name
@@ -284,7 +296,8 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
             lens[s:e], signed=False).tobytes(), 2)
         streams.append((LENGTH, data))
         child_gb = (offarr[vgb] - offarr[0]) if index else None
-        child = _encode_column(vals.flatten(), ts_conv, child_gb)
+        child = _encode_column(vals.flatten(), ts_conv, child_gb,
+                               ts_instant)
         return done(K_LIST, subtypes=[child], pos=pos)
     if pa.types.is_map(t):
         # MAP = LENGTH + key/value child writers
@@ -298,9 +311,11 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
         streams.append((LENGTH, data))
         child_gb = (off[vgb] - off[0]) if index else None
         kcol = _encode_column(
-            vals.keys.slice(off[0], off[-1] - off[0]), ts_conv, child_gb)
+            vals.keys.slice(off[0], off[-1] - off[0]), ts_conv, child_gb,
+            ts_instant)
         vcol = _encode_column(
-            vals.items.slice(off[0], off[-1] - off[0]), ts_conv, child_gb)
+            vals.items.slice(off[0], off[-1] - off[0]), ts_conv, child_gb,
+            ts_instant)
         return done(K_MAP, subtypes=[kcol, vcol], pos=pos)
     if pa.types.is_union(t):
         # UNION = DATA tag byte-RLE + one DENSE child writer per
@@ -336,7 +351,8 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
             if index:
                 child_gb = np.concatenate(
                     ([0], np.cumsum(m, dtype=np.int64)))[vgb]
-            children.append(_encode_column(child, ts_conv, child_gb))
+            children.append(_encode_column(child, ts_conv, child_gb,
+                                           ts_instant))
         return done(K_UNION, ENC_DIRECT, subtypes=children, pos=pos)
     if t == pa.bool_():
         # boolean DATA is a bit stream (MSB-first bits, byte-RLE'd —
@@ -402,8 +418,11 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
         return done(K_DATE, pos=pos, stat=stat,
                     stat_g=_int_stats(v, vgb, STAT_DATE) if index else None)
     if pa.types.is_timestamp(t):
-        ns = np.asarray(vals.cast(pa.timestamp("ns")).cast(pa.int64()),
-                        dtype=np.int64)
+        # tz-aware Arrow timestamps are instants -> TIMESTAMP_INSTANT
+        # (same stream layout, UTC epoch base; readers skip the
+        # writer-timezone adjustment plain TIMESTAMP gets)
+        ns = np.asarray(vals.cast(pa.timestamp("ns", tz=t.tz))
+                        .cast(pa.int64()), dtype=np.int64)
         segs = [T.encode_timestamp(ns[s:e], convention=ts_conv)
                 for s, e in zip(vgb[:-1], vgb[1:])]
         data, doffs = _concat([d.tobytes() for d, _ in segs])
@@ -411,7 +430,11 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
         streams.append((DATA, data))
         streams.append((SECONDARY, sec))
         pos = [[d, 0, s, 0] for d, s in zip(doffs, soffs)]
-        return done(K_TIMESTAMP, pos=pos)
+        stat = (STAT_TS, int(ns.min()), int(ns.max())) if nv else None
+        return done(K_TIMESTAMP_INSTANT if (t.tz and ts_instant)
+                    else K_TIMESTAMP,
+                    pos=pos, stat=stat,
+                    stat_g=_int_stats(ns, vgb, STAT_TS) if index else None)
     if pa.types.is_decimal(t):
         buf = vals.buffers()[1]
         raw = np.frombuffer(buf, dtype=np.uint64,
@@ -674,7 +697,8 @@ def write_orc(table: pa.Table, path: str,
               bloom_columns: tuple | list = (),
               bloom_fpp: float = 0.01,
               compression: str = "none",
-              compression_block: int = 64 * 1024) -> None:
+              compression_block: int = 64 * 1024,
+              timestamp_instant: bool = False) -> None:
     """Write ``table`` as an ORC v1 file readable by ORC C++ /
     orc-core (verified via pyarrow.orc in tests).
 
@@ -696,6 +720,15 @@ def write_orc(table: pa.Table, path: str,
     group at ``bloom_fpp``) — the equality-predicate skipping surface
     for unsorted columns, where min/max statistics cannot prune.
     Requires ``row_index_stride > 0``.
+
+    ``timestamp_instant``: when True, tz-aware Arrow timestamp
+    columns emit ORC TIMESTAMP_INSTANT (kind 18 — UTC-based, no
+    reader-timezone adjustment). Default False writes plain TIMESTAMP
+    for ORC-ecosystem breadth: Spark's own ORC reader cannot parse
+    instant columns ("timestamp with local time zone" schema error),
+    and Spark hands every TIMESTAMP_LTZ column to mapInArrow tz-aware,
+    so defaulting to instant would make write_orc_dir output
+    unreadable by spark.read.orc. ORC C++ reads both kinds.
 
     ``compression``: "none", "zlib", "snappy", "lz4", "zstd", or
     "brotli" — the codec
@@ -748,7 +781,8 @@ def write_orc(table: pa.Table, path: str,
         root = _encode_column(pa.StructArray.from_arrays(
             [chunk.column(i).combine_chunks()
              for i in range(chunk.num_columns)],
-            names=chunk.column_names), timestamp_convention, gb)
+            names=chunk.column_names), timestamp_convention, gb,
+            ts_instant=timestamp_instant)
         cols: list[_Col] = []
         _flatten(root, cols)
         if not agg_nvals:

@@ -346,6 +346,23 @@ def _parse_col_stats(v) -> dict:
             for f3, _, v3 in _fields(v2):
                 if f3 in (1, 2):
                     d["min" if f3 == 1 else "max"] = _zz(v3)
+        elif f2 == 9:       # TimestampStatistics -> epoch nanos
+            # the UTC fields (3/4 millis + 5/6 sub-milli nanos+1) are
+            # timezone-unambiguous; writers that emitted only the
+            # writer-local 1/2 fields stay unpruned (conservative)
+            ms = {}
+            # bounds when the nanos fields are absent: the true value
+            # lies somewhere inside the recorded millisecond, so min
+            # floors to .000000 and max widens to .999999
+            sub = {5: 0, 6: 999_999}
+            for f3, _, v3 in _fields(v2):
+                if f3 in (3, 4):
+                    ms[f3] = _zz(v3)
+                elif f3 in (5, 6):
+                    sub[f3] = v3 - 1
+            if 3 in ms and 4 in ms:
+                d["min"] = ms[3] * 10 ** 6 + sub[5]
+                d["max"] = ms[4] * 10 ** 6 + sub[6]
     return d
 
 

@@ -43,7 +43,8 @@ def write_orc_dir(df: DataFrame, out_dir: str,
     ``row_index_stride``: rows per ROW_INDEX entry (0 = no index);
     index-aware readers seek/skip at this granularity.
     ``compression``: "zlib" (default — ORC's own default codec, ~2x
-    smaller part-files, positions stay seekable) or "none".
+    smaller part-files, positions stay seekable), "snappy", "lz4",
+    "zstd", "brotli", or "none" (engine.orc_file.write_orc).
     """
     out_dir = _require_local(out_dir)
     os.makedirs(out_dir, exist_ok=True)

@@ -513,3 +513,47 @@ def test_brotli_emission_engine_roundtrip():
     assert len(gx) == 2000
     os.unlink(fz)
     os.unlink(fn)
+
+
+def test_timestamp_instant_emission():
+    """timestamp_instant=True: tz-aware Arrow timestamps emit
+    TIMESTAMP_INSTANT (kind 18) — same stream layout as TIMESTAMP but
+    UTC-based, readers skip the writer-timezone adjustment. Verified
+    by ORC C++ (which maps it back to timestamp[ns, tz=UTC]) and the
+    engine reader. Default False keeps plain TIMESTAMP because
+    spark.read.orc cannot parse instant columns."""
+    from engine.orc_read import read_orc, read_orc_tail
+    n = 20_000
+    ns = (np.arange(n, dtype=np.int64) - n // 2) * 10 ** 9 + 123456789
+    t = pa.table({
+        "ts_plain": pa.array(ns, type=pa.timestamp("ns")),
+        "ts_utc": pa.array(ns, type=pa.timestamp("ns", tz="UTC")),
+    })
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, row_index_stride=1000, timestamp_instant=True)
+    info = read_orc_tail(f)
+    assert [info.types[i].kind for i in (1, 2)] == [9, 18]
+    # default: tz-aware still writes plain TIMESTAMP (Spark-readable)
+    fd = tempfile.mktemp(suffix=".orc")
+    write_orc(t, fd)
+    assert [read_orc_tail(fd).types[i].kind for i in (1, 2)] == [9, 9]
+    os.unlink(fd)
+    back = read_orc(f)
+    assert back.column("ts_plain").to_pylist() \
+        == t.column("ts_plain").to_pylist()
+    assert back.column("ts_utc").cast(pa.timestamp("ns", tz="UTC")) \
+        .to_pylist() == t.column("ts_utc").to_pylist()
+    cpp = orc.read_table(f)
+    assert str(cpp.schema.field("ts_utc").type) == "timestamp[ns, tz=UTC]"
+    assert cpp.column("ts_plain").to_pylist() \
+        == t.column("ts_plain").to_pylist()
+    assert cpp.column("ts_utc").cast(pa.timestamp("ns", tz="UTC")) \
+        .to_pylist() == t.column("ts_utc").to_pylist()
+    # row-group pruned seek via the emitted TimestampStatistics
+    # ([DATA, SECONDARY] position slots; ns-literal filters)
+    got = read_orc(f, filters=[("ts_plain", ">=",
+                                int(ns[n - 2000]))])
+    assert got.num_rows <= 3000
+    assert set(ns[-2000:].tolist()) <= set(
+        got.column("ts_plain").cast(pa.int64()).to_pylist())
+    os.unlink(f)

@@ -922,3 +922,56 @@ def test_lzo_orc_read_java_writer(spark):
     dec = read_orc_dir(spark, out)
     assert dec.count() == n
     assert dec.agg(F.sum("x")).first()[0] == n * (n - 1) // 2
+
+
+def test_timestamp_stats_pruning_cpp_writer():
+    """TimestampStatistics (UTC millis + sub-milli nanos) from ORC C++
+    files drive stripe AND row-group pruning; filter literals are
+    int64 epoch nanos."""
+    from engine.orc_read import stripes_matching
+    n = 30_000
+    ns = np.arange(n, dtype=np.int64) * 10 ** 9 + 123_456_789
+    t = pa.table({"ts": pa.array(ns, type=pa.timestamp("ns")),
+                  "k": pa.array(np.arange(n))})
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, stripe_size=64 * 1024, row_index_stride=2000)
+    info = read_orc_tail(f)
+    keep = stripes_matching(info, [("ts", ">=", int(ns[-2000]))])
+    assert 0 < len(keep) < len(info.stripes) // 2
+    got = read_orc(f, filters=[("ts", ">=", int(ns[-2000]))])
+    assert got.num_rows < n // 4
+    assert set(ns[-2000:].tolist()) <= {
+        v.value if hasattr(v, "value") else v
+        for v in got.column("ts").cast(pa.int64()).to_pylist()}
+    os.unlink(f)
+
+
+def test_timestamp_stats_pruning_own_writer(spark):
+    """The engine writer's TimestampStatistics are consumed by its own
+    planner AND by orc-core: a pushed Spark range filter over an
+    engine-written file returns exact rows (orc-core prunes row groups
+    from the emitted ts stats)."""
+    from engine.orc_read import stripes_matching
+    from jobs.orc_write import write_orc_dir
+    from pyspark.sql import functions as F
+    n = 40_000
+    df = (spark.range(n)
+          .withColumn("ts", F.timestamp_micros(
+              F.col("id") * 1_000_000 + 123_456))
+          .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    out = tempfile.mkdtemp(prefix="ts_stats_orc_")
+    write_orc_dir(df, out, stripe_rows=64, row_index_stride=0,
+                  timestamp_convention="java").collect()
+    files = sorted(os.path.join(out, p) for p in os.listdir(out)
+                   if p.endswith(".orc"))
+    # engine planner prunes engine-written ts stats
+    info = read_orc_tail(files[-1])
+    lit = (n - 100) * 10 ** 9 + 123_456_000
+    keep = stripes_matching(info, [("ts", ">=", lit)])
+    assert len(keep) < len(info.stripes)
+    # orc-core consumes them: pushed filter returns the exact rows
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    got = (spark.read.orc(out)
+           .filter(f"ts >= timestamp_micros({(n - 100) * 1_000_000})")
+           .count())
+    assert got == 100
