@@ -62,13 +62,26 @@ def _type_filter_literals(input_path: str,
     from engine.orc_read import read_orc_tail
     from jobs.orc_read import list_orc_files
     schema = read_orc_tail(list_orc_files(input_path)[0]).schema()
+    def _resolve(name):
+        i = schema.get_field_index(name)
+        if i >= 0:
+            return schema.field(i).type
+        t = None
+        for part in name.split("."):    # nested struct member
+            fields = schema if t is None else \
+                (list(t) if pa.types.is_struct(t) else [])
+            match = [f for f in fields if f.name == part]
+            if not match:
+                return None
+            t = match[0].type
+        return t
+
     typed = []
     for name, op, val in filters:
-        i = schema.get_field_index(name)
-        if val is None or i < 0:
+        t = _resolve(name)
+        if val is None or t is None:
             typed.append((name, op, val))
             continue
-        t = schema.field(i).type
         if pa.types.is_integer(t) or pa.types.is_date(t):
             val = int(val)
         elif pa.types.is_floating(t):
@@ -122,7 +135,8 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--timestamp-convention", default="cpp",
                     choices=["cpp", "java"])
     so.add_argument("--compression", default="zlib",
-                    choices=["zlib", "snappy", "lz4", "zstd", "none"])
+                    choices=["zlib", "snappy", "lz4", "zstd", "brotli",
+                             "none"])
 
     si = sub.add_parser("import-orc")
     si.add_argument("--input", required=True)
@@ -136,6 +150,9 @@ def main(argv: list[str] | None = None) -> int:
                          "> >= is_null not_null); pruned at stripe AND "
                          "row-group tiers, re-applied exactly")
     si.add_argument("--parallelism", type=int, default=None)
+    si.add_argument("--allow-missing-columns", action="store_true",
+                    help="null-fill projected columns absent from older "
+                         "files (schema-evolved directories)")
 
     ss = sub.add_parser("synth")
     ss.add_argument("--output", required=True)
@@ -218,7 +235,8 @@ def main(argv: list[str] | None = None) -> int:
         filters = _type_filter_literals(a.input, filters) or None
         df = read_orc_dir(spark, a.input, columns=cols,
                           parallelism=a.parallelism,
-                          filters=filters)
+                          filters=filters,
+                          allow_missing_columns=a.allow_missing_columns)
         df.write.mode("overwrite").parquet(a.output)
         n = spark.read.parquet(a.output).count()
         print(json.dumps({"rows": n, "output": a.output}))
