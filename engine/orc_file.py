@@ -92,6 +92,7 @@ def pb_double(field: int, x: float) -> bytes:
 
 # ColumnStatistics sub-message field per stat kind
 STAT_INT, STAT_DOUBLE, STAT_STRING, STAT_DATE, STAT_TS = 2, 3, 4, 7, 9
+STAT_DEC = 6  # DecimalStatistics: min/max as decimal strings
 
 
 def _stat_sub(stat) -> bytes:
@@ -112,8 +113,27 @@ def _stat_sub(stat) -> bytes:
         body = (pb_svarint(3, mn_ms) + pb_svarint(4, mx_ms)
                 + pb_varint(5, mn_sub + 1) + pb_varint(6, mx_sub + 1))
     else:
-        body = pb_str(1, mn) + pb_str(2, mx)
+        # StringStatistics and DecimalStatistics share the shape:
+        # minimum=1, maximum=2, both strings. Decimal stats travel as
+        # Decimal objects until here so min/max aggregation across
+        # groups/stripes compares numerically, not lexicographically.
+        body = pb_str(1, str(mn)) + pb_str(2, str(mx))
     return pb_bytes(fno, body)
+
+
+def _i128_minmax(lo: np.ndarray, hi: np.ndarray) -> tuple[int, int]:
+    """(min, max) of an int128 array split as (uint64 lo, int64 hi),
+    without materializing Python ints per element: compare the high
+    limbs first, then the low limbs among the extreme-high rows."""
+    mn_hi, mx_hi = hi.min(), hi.max()
+    mn = (int(mn_hi) << 64) + int(lo[hi == mn_hi].min())
+    mx = (int(mx_hi) << 64) + int(lo[hi == mx_hi].max())
+    return mn, mx
+
+
+def _dec_val(unscaled: int, scale: int):
+    import decimal
+    return decimal.Decimal(unscaled).scaleb(-scale)
 
 
 def _col_stats_pb(nv: int, has_null: bool, stat) -> bytes:
@@ -449,8 +469,24 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
         streams.append((DATA, data))
         streams.append((SECONDARY, sec))
         pos = [[d, s, 0] for d, s in zip(doffs, soffs)]
+        stat = None
+        if nv:
+            mn, mx = _i128_minmax(lo, hi)
+            stat = (STAT_DEC, _dec_val(mn, t.scale),
+                    _dec_val(mx, t.scale))
+        stat_g = None
+        if index:
+            stat_g = []
+            for s, e in zip(vgb[:-1], vgb[1:]):
+                if e > s:
+                    gmn, gmx = _i128_minmax(lo[s:e], hi[s:e])
+                    stat_g.append((STAT_DEC, _dec_val(gmn, t.scale),
+                                   _dec_val(gmx, t.scale)))
+                else:
+                    stat_g.append(None)
         return done(K_DECIMAL, pos=pos,
-                    precision=t.precision, scale=t.scale)
+                    precision=t.precision, scale=t.scale,
+                    stat=stat, stat_g=stat_g)
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         data, lens = strings.arrow_bytes_lengths(vals)
         streams.append((DATA, data.tobytes()))

@@ -32,6 +32,7 @@ else -> "java", which is also the proto default orc-core writes);
 
 from __future__ import annotations
 
+import decimal
 import zlib
 
 import numpy as np
@@ -342,6 +343,15 @@ def _parse_col_stats(v) -> dict:
             for f3, w3, v3 in _fields(v2):
                 if f3 in (1, 2) and w3 == 2:
                     d["min" if f3 == 1 else "max"] = v3.decode()
+        elif f2 == 6:       # DecimalStatistics (decimal strings)
+            import decimal
+            for f3, w3, v3 in _fields(v2):
+                if f3 in (1, 2) and w3 == 2:
+                    try:
+                        d["min" if f3 == 1 else "max"] = \
+                            decimal.Decimal(v3.decode())
+                    except decimal.InvalidOperation:
+                        pass    # malformed stat: stay unprunable
         elif f2 == 7:       # DateStatistics (sint32 days)
             for f3, _, v3 in _fields(v2):
                 if f3 in (1, 2):
@@ -448,11 +458,17 @@ def _stats_may_match(st: dict | None, op: str, val) -> bool:
     if st.get("n", 1) == 0:
         return False        # all null: no comparison can match
     mn, mx = st.get("min"), st.get("max")
+    num = (int, float, decimal.Decimal)
     if mn is None or mx is None or \
             not isinstance(val, type(mn)) and \
-            not (isinstance(val, (int, float)) and
-                 isinstance(mn, (int, float))):
+            not (isinstance(val, num) and isinstance(mn, num)):
         return True         # unprunable: keep
+    if isinstance(mn, decimal.Decimal) and isinstance(val, float):
+        # exact comparison semantics: Decimal vs float compares by
+        # true value in Python, no conversion needed — but NaN keeps
+        if val != val:
+            return True
+        val = decimal.Decimal(str(val))
     if op in ("=", "=="):
         return mn <= val <= mx
     if op == "<":

@@ -975,3 +975,76 @@ def test_timestamp_stats_pruning_own_writer(spark):
            .filter(f"ts >= timestamp_micros({(n - 100) * 1_000_000})")
            .count())
     assert got == 100
+
+
+def test_decimal_stats_pruning_own_writer():
+    """DecimalStatistics (proto field 6, min/max decimal strings):
+    the engine writer emits them per row group / stripe / file, the
+    planner prunes from them, and min/max aggregate NUMERICALLY (not
+    lexicographically — "999" < "1000")."""
+    from engine.orc_read import read_orc_tail, stripes_matching
+    D = pydec.Decimal
+    # sorted so stripes/groups prune hard; values cross the 3->4 digit
+    # boundary where lexicographic aggregation would flip min/max
+    vals = [D(i) * 10 + D("0.25") for i in range(900)]
+    t = pa.table({"amt": pa.array(vals, type=pa.decimal128(12, 2))})
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, stripe_rows=300, row_index_stride=100)
+    info = read_orc_tail(f)
+    ss = info.stripe_stats()
+    assert [c[1]["min"] for c in ss] == [D("0.25"), D("3000.25"),
+                                         D("6000.25")]
+    assert [c[1]["max"] for c in ss] == [D("2990.25"), D("5990.25"),
+                                        D("8990.25")]
+    # Decimal / int / float literals all prune; NaN keeps
+    assert stripes_matching(info, [("amt", ">=", D("6000"))]) == [2]
+    assert stripes_matching(info, [("amt", "<", 3000)]) == [0]
+    assert stripes_matching(info, [("amt", "=", 4000.25)]) == [1]
+    assert len(stripes_matching(
+        info, [("amt", "<", float("nan"))])) == 3
+    # row-group tier: one 100-row group survives inside stripe 2
+    got = read_orc(f, filters=[("amt", ">=", D("8500"))])
+    assert got.num_rows == 100
+    assert got.column("amt").to_pylist() == vals[800:]
+
+
+def test_decimal_stats_cross_impl(spark):
+    """ORC C++-written DecimalStatistics parse and prune in this
+    engine's planner; orc-core (Spark pushdown) consumes the engine
+    writer's decimal stats and returns exact rows."""
+    from engine.orc_read import read_orc_tail, stripes_matching
+    from jobs.orc_write import write_orc_dir
+    from pyspark.sql import functions as F
+    D = pydec.Decimal
+    # --- cpp writer -> engine planner
+    vals = [D(i) + D("0.50") for i in range(5000)]
+    t = pa.table({"amt": pa.array(vals, type=pa.decimal128(12, 2))})
+    f = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f)
+    info = read_orc_tail(f)
+    ss = info.stripe_stats()
+    if ss:  # single-stripe file still exposes parsed decimal stats
+        assert ss[0][1]["min"] == D("0.50")
+        assert ss[0][1]["max"] == D("4999.50")
+        assert stripes_matching(info, [("amt", ">", D("5000"))]) == []
+    got = read_orc(f)
+    assert got.column("amt").to_pylist() == vals
+    # --- engine writer -> orc-core consumer with pushed filter
+    n = 40_000
+    df = (spark.range(n)
+          .withColumn("amt", (F.col("id") * 100 + 25)
+                      .cast("decimal(14,2)"))
+          .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    out = tempfile.mkdtemp(prefix="dec_stats_orc_")
+    write_orc_dir(df, out, stripe_rows=64, row_index_stride=0).collect()
+    files = sorted(os.path.join(out, p) for p in os.listdir(out)
+                   if p.endswith(".orc"))
+    info2 = read_orc_tail(files[-1])
+    lit = D(n - 100) * 100 + D("0.25")
+    keep = stripes_matching(info2, [("amt", ">=", lit)])
+    assert 0 < len(keep) < len(info2.stripes)
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    got2 = (spark.read.orc(out)
+            .filter(f"amt >= cast({(n - 100) * 100}.25 as decimal(14,2))")
+            .count())
+    assert got2 == 100
