@@ -658,6 +658,37 @@ def _q_orc_pruned_scan(spark, sf_dir):
     return dec.select("doc_id", "n_tok")
 
 
+def _q_orc_decimal_pruned(spark, sf_dir):
+    """DecimalStatistics-driven stripe pruning as a driver-checked
+    query: derive amt = n_tok + 0.25 as decimal(12,2), range-sort on
+    n_tok, write with the engine's distributed ORC writer — which
+    emits per-stripe DecimalStatistics (proto field 6, min/max decimal
+    strings aggregated NUMERICALLY across row groups/stripes,
+    engine/orc_file.py) — then read back through the distributed
+    reader with a Decimal literal filter: stripes are pruned at
+    PLANNING time from the parsed decimal min/max
+    (engine/orc_read.py::_stats_may_match), and the predicate
+    re-applies exactly on the survivors."""
+    import decimal
+    import tempfile
+
+    from jobs.orc_read import read_orc_dir
+    from jobs.orc_write import write_orc_dir
+
+    tok = (_token_df(spark, sf_dir)
+           .withColumn("amt", F.expr(
+               "cast(n_tok + 0.25 as decimal(12,2))"))
+           .select("doc_id", "amt", "n_tok")
+           .repartitionByRange(4, "n_tok")
+           .sortWithinPartitions("n_tok"))
+    out = tempfile.mkdtemp(prefix="orc_dec_pruned_")
+    write_orc_dir(tok, out, stripe_rows=64).collect()
+    dec = read_orc_dir(spark, out, columns=["doc_id", "amt"],
+                       filters=[("amt", ">=",
+                                 decimal.Decimal("90.25"))])
+    return dec.select("doc_id", "amt")
+
+
 def _q_orc_rowgroup_seek(spark, sf_dir):
     """ROW-GROUP-level predicate pushdown inside stripes (M2 as a
     *file* surface): the engine writer emits per-column ROW_INDEX
@@ -980,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_read_distributed": _q_orc_read_distributed,  # M6 (files)
         # planning-time stripe pruning from Metadata statistics
         "orc_pruned_scan": _q_orc_pruned_scan,            # M1+M6 (files)
+        "orc_decimal_pruned": _q_orc_decimal_pruned,      # M1+T2 (files)
         "orc_rowgroup_seek": _q_orc_rowgroup_seek,        # M2 (files)
         # LZ4 chunk codec both directions (engine write -> orc-core
         # read; orc-core write -> engine read)
@@ -1120,6 +1152,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok
             FROM documents WHERE {_SQL_NTOK} >= 90""",
+        "orc_decimal_pruned": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST({_SQL_NTOK} + 0.25 AS DECIMAL(12,2)) AS amt
+            FROM documents WHERE {_SQL_NTOK} + 0.25 >= 90.25""",
         "orc_rowgroup_seek": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok

@@ -45,16 +45,28 @@ def _fmix(k: np.ndarray) -> np.ndarray:
 
 
 def wang_hash64(v) -> np.ndarray:
-    """Thomas Wang 64-bit mix — orc-core BloomFilter.getLongHash."""
-    k = np.asarray(v, dtype=np.int64).view(_U64)
-    k = (~k) + (k << _U64(21))
-    k = k ^ (k >> _U64(24))
-    k = (k + (k << _U64(3))) + (k << _U64(8))
-    k = k ^ (k >> _U64(14))
-    k = (k + (k << _U64(2))) + (k << _U64(4))
-    k = k ^ (k >> _U64(28))
-    k = k + (k << _U64(31))
-    return k
+    """Thomas Wang 64-bit mix — orc-core BloomFilter.getLongHash.
+
+    orc-core's Java source uses SIGNED ``>>`` (arithmetic) shifts, not
+    Wang's original unsigned ones (verified in the orc-core 2.2.2
+    bytecode: ``lshr``, not ``lushr``). The two agree whenever every
+    intermediate value stays non-negative — true for the small
+    positive longs typical of id columns, which is why a logical-shift
+    version cross-validates on those — but diverge for negative /
+    large (≳2^42) longs and for doubleToLongBits patterns, where a
+    logical-shift probe silently misses every real ORC bloom entry.
+    All ops are int64 with wrap-around (Java semantics)."""
+    k = np.asarray(v, dtype=np.int64)
+    _i = np.int64
+    with np.errstate(over="ignore"):
+        k = (~k) + (k << _i(21))
+        k = k ^ (k >> _i(24))
+        k = (k + (k << _i(3))) + (k << _i(8))
+        k = k ^ (k >> _i(14))
+        k = (k + (k << _i(2))) + (k << _i(4))
+        k = k ^ (k >> _i(28))
+        k = k + (k << _i(31))
+    return k.view(_U64)
 
 
 def orc_hash64(data: np.ndarray, lengths: np.ndarray,

@@ -691,6 +691,18 @@ def _row_index_pb(col: _Col) -> bytes:
     return out
 
 
+def _hive_decimal_strings(vals: pa.Array) -> pa.Array:
+    """Decimal array -> minimal decimal strings (HiveDecimal.toString
+    semantics): full-scale cast, then strip trailing fractional zeros
+    and a bare trailing point; negative zero normalizes to "0"."""
+    import pyarrow.compute as pc
+    s = vals.cast(pa.large_string())
+    s = pc.replace_substring_regex(s, r"(\.\d*?)0+$", r"\1")
+    s = pc.replace_substring_regex(s, r"\.$", "")
+    s = pc.replace_substring_regex(s, r"^-0$", "0")
+    return s.cast(pa.large_string())
+
+
 def _bloom_index_pb(arr: pa.Array, col: _Col, stride: int,
                     fpp: float) -> bytes:
     """BloomFilterIndex for one column: one BloomFilter per row group
@@ -702,16 +714,32 @@ def _bloom_index_pb(arr: pa.Array, col: _Col, stride: int,
     vals = arr.drop_null() if arr.null_count else arr
     vgb = np.concatenate(([0], np.cumsum([e[1] for e in col.rg],
                                          dtype=np.int64)))
-    is_str = col.kind == K_STRING
-    if is_str:
+    is_str = col.kind in (K_STRING, K_DECIMAL)
+    if col.kind == K_STRING:
         data, lens = st.arrow_bytes_lengths(vals.cast(pa.large_string()))
+        boffs = np.concatenate(([0], np.cumsum(lens)))
+    elif col.kind == K_DECIMAL:
+        # orc-core/ORC C++ hash decimals into BLOOM_FILTER_UTF8 as the
+        # MINIMAL decimal string (HiveDecimal.toString: trailing
+        # fractional zeros stripped, "12.50" -> "12.5"), verified
+        # empirically against ORC C++-written blooms
+        data, lens = st.arrow_bytes_lengths(_hive_decimal_strings(vals))
         boffs = np.concatenate(([0], np.cumsum(lens)))
     elif col.kind in (K_BYTE, K_SHORT, K_INT, K_LONG, K_DATE):
         v = np.asarray(vals.cast(pa.int64()), dtype=np.int64)
+    elif col.kind in (K_FLOAT, K_DOUBLE):
+        # Java addDouble = addLong(doubleToLongBits(v)); float columns
+        # hash the float widened to double. doubleToLongBits
+        # canonicalizes every NaN to 0x7ff8000000000000
+        d = np.asarray(vals.cast(pa.float64()), dtype=np.float64)
+        v = d.view(np.int64).copy()
+        nan = np.isnan(d)
+        if nan.any():
+            v[nan] = 0x7FF8000000000000
     else:
         raise NotImplementedError(
-            "bloom_columns supports integer/date/string columns only "
-            f"(got ORC kind {col.kind})")
+            "bloom_columns supports integer/date/float/double/decimal/"
+            f"string columns only (got ORC kind {col.kind})")
     out = b""
     for g in range(len(col.rg)):
         s, e = int(vgb[g]), int(vgb[g + 1])

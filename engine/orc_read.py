@@ -501,6 +501,34 @@ def _bloom_may_match(bf, val, kind: int) -> bool:
         if isinstance(val, bool) or not isinstance(val, (int, np.integer)):
             return True
         return bool(bf.test_longs(np.array([val], dtype=np.int64))[0])
+    if kind in (K_FLOAT, K_DOUBLE):
+        # writers hash doubleToLongBits of the (widened) value; int
+        # literals compare as doubles in every ORC engine
+        if isinstance(val, bool) or \
+                not isinstance(val, (int, float, np.floating)):
+            return True
+        d = np.float64(val)
+        if np.isnan(d):
+            return True
+        return bool(bf.test_longs(
+            np.array([d], dtype=np.float64).view(np.int64))[0])
+    if kind == K_DECIMAL:
+        # BLOOM_FILTER_UTF8 decimals are the MINIMAL decimal string
+        # (HiveDecimal.toString, "12.50" -> "12.5") — verified against
+        # ORC C++-written blooms; float literals stay unprobed (their
+        # decimal rendering is representation-dependent)
+        if isinstance(val, bool) or \
+                not isinstance(val, (int, decimal.Decimal)):
+            return True
+        s = format(decimal.Decimal(val), "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".") or "0"
+        if s == "-0":
+            s = "0"
+        b = s.encode()
+        return bool(bf.test_strings(
+            np.frombuffer(b, dtype=np.uint8),
+            np.array([len(b)], dtype=np.int64))[0])
     return True
 
 

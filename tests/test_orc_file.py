@@ -557,3 +557,61 @@ def test_timestamp_instant_emission():
     assert set(ns[-2000:].tolist()) <= set(
         got.column("ts_plain").cast(pa.int64()).to_pylist())
     os.unlink(f)
+
+
+def test_double_decimal_blooms_consumed_by_orc_core(spark):
+    """Engine-written BLOOM_FILTER_UTF8 on double and decimal columns
+    satisfies orc-core's probes (honest blooms -> exact row through a
+    pushed Spark equality filter) and is genuinely consulted
+    (all-zero blooms -> zero rows for the same filter). Doubles hash
+    as doubleToLongBits through the SIGNED-shift getLongHash; decimals
+    as minimal HiveDecimal strings."""
+    import decimal as pydec
+
+    import engine.orc_file as of
+
+    n = 40_000
+    rng = np.random.default_rng(21)
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({
+        "price": pa.array(ids.astype(np.float64) * 1.25 + 0.125),
+        "amt": pa.array([pydec.Decimal(int(i)).scaleb(-2) for i in ids],
+                        type=pa.decimal128(14, 2)),
+    })
+    k = int(ids[31337])
+    d = tempfile.mkdtemp()
+    write_orc(t, os.path.join(d, "part.orc"), row_index_stride=1000,
+              bloom_columns=("price", "amt"))
+
+    d2 = tempfile.mkdtemp()
+    orig = of._bloom_index_pb
+
+    def empty_blooms(arr, col, stride, fpp):
+        out = b""
+        for _ in range(len(col.rg)):
+            out += of.pb_bytes(1, of.pb_varint(1, 3)
+                               + of.pb_bytes(3, b"\0" * 128))
+        return out
+
+    of._bloom_index_pb = empty_blooms
+    try:
+        write_orc(t, os.path.join(d2, "part.orc"),
+                  row_index_stride=1000, bloom_columns=("price", "amt"))
+    finally:
+        of._bloom_index_pb = orig
+
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    good = spark.read.orc(d).filter(f"price = {k * 1.25 + 0.125!r}") \
+        .collect()
+    assert len(good) == 1
+    amt_lit = f"cast({pydec.Decimal(k).scaleb(-2)} as decimal(14,2))"
+    good = spark.read.orc(d).filter(f"amt = {amt_lit}").collect()
+    assert len(good) == 1
+    assert (spark.read.orc(d2)
+            .filter(f"price = {k * 1.25 + 0.125!r}").count()) == 0
+    # orc-core 2.2.2 does not probe blooms for DECIMAL predicates
+    # (observed: the zero-bloom file still returns the row), so the
+    # decimal cross-implementation proof is the ORC C++-writer test in
+    # test_orc_read.py; the honest-bloom read above still pins the
+    # emitted stream as well-formed for orc-core.
+    assert spark.read.orc(d2).filter(f"amt = {amt_lit}").count() == 1

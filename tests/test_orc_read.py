@@ -1048,3 +1048,96 @@ def test_decimal_stats_cross_impl(spark):
             .filter(f"amt >= cast({(n - 100) * 100}.25 as decimal(14,2))")
             .count())
     assert got2 == 100
+
+
+def _double_decimal_bloom_table(n=40_000):
+    """Unsorted doubles/decimals/large-magnitude ints: stats can't
+    prune, blooms are the only pruning surface; id magnitudes straddle
+    the signed-shift regime where Java's arithmetic-shift getLongHash
+    diverges from a logical-shift Wang mix."""
+    rng = np.random.default_rng(17)
+    ids = rng.permutation(n).astype(np.int64)
+    big = np.where(ids % 2 == 0, ids * 3_037_000_499 + 2 ** 55,
+                   -(ids * 2_147_483_629) - 2 ** 60)
+    price = ids.astype(np.float64) * 1.25 + 0.125
+    amt = [pydec.Decimal(int(i)).scaleb(-2) for i in ids]
+    return ids, pa.table({
+        "big": pa.array(big),
+        "price": pa.array(price),
+        "amt": pa.array(amt, type=pa.decimal128(14, 2)),
+    })
+
+
+def test_bloom_pruned_double_decimal_bigint_own_writer():
+    """Engine-written BLOOM_FILTER_UTF8 on double / decimal /
+    large-magnitude int columns prunes engine reads: equality on a
+    present value returns it (bloom false negatives are the failure
+    mode of a wrong hash family), absent-but-in-range values prune
+    everything, and type-mismatched literals keep all rows."""
+    ids, t = _double_decimal_bloom_table()
+    n = t.num_rows
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, row_index_stride=1000,
+              bloom_columns=("big", "price", "amt"))
+    k = int(ids[31337])
+    tgt_big = int(k * 3_037_000_499 + 2 ** 55) if k % 2 == 0 \
+        else int(-(k * 2_147_483_629) - 2 ** 60)
+    got = read_orc(f, filters=[("big", "=", tgt_big)])
+    assert tgt_big in got.column("big").to_pylist()
+    assert got.num_rows < n // 4
+    tgt_price = k * 1.25 + 0.125
+    got = read_orc(f, filters=[("price", "=", tgt_price)])
+    assert tgt_price in got.column("price").to_pylist()
+    assert got.num_rows < n // 4
+    tgt_amt = pydec.Decimal(k).scaleb(-2)
+    got = read_orc(f, filters=[("amt", "=", tgt_amt)])
+    assert tgt_amt in got.column("amt").to_pylist()
+    assert got.num_rows < n // 4
+    # absent values inside [min, max]: bloom prunes everything
+    assert read_orc(f, filters=[("price", "=", 0.3)]).num_rows == 0
+    assert read_orc(
+        f, filters=[("amt", "=", pydec.Decimal("0.005"))]).num_rows == 0
+    # mismatched literal types keep all rows (no wrong-family probe)
+    assert read_orc(f, filters=[("price", "=", "x")]).num_rows == n
+    assert read_orc(f, filters=[("amt", "=", "x")]).num_rows == n
+    # float literal on a decimal column: the DECIMAL stats tier prunes
+    # numerically but the bloom must NOT probe (representation-
+    # dependent rendering) — the true match always survives
+    got = read_orc(f, filters=[("amt", "=", 0.25)])
+    assert pydec.Decimal("0.25") in got.column("amt").to_pylist()
+    os.unlink(f)
+
+
+def test_bloom_pruned_double_decimal_bigint_cpp_writer():
+    """ORC C++-written blooms on double / decimal / large-magnitude
+    int columns prune engine reads — the cross-implementation proof
+    that the engine's getLongHash uses Java's SIGNED (arithmetic)
+    shifts and that decimals hash as MINIMAL decimal strings. A
+    logical-shift Wang mix passes small-id tests but misses every
+    probe here."""
+    ids, t = _double_decimal_bloom_table()
+    n = t.num_rows
+    f = tempfile.mktemp(suffix=".orc")
+    # pyarrow quirk: blooming every column disables blooms; two files
+    f2 = tempfile.mktemp(suffix=".orc")
+    orc.write_table(t, f, bloom_filter_columns=[1, 2],
+                    row_index_stride=1000)
+    orc.write_table(t, f2, bloom_filter_columns=[3],
+                    row_index_stride=1000)
+    k = int(ids[31337])
+    tgt_big = int(k * 3_037_000_499 + 2 ** 55) if k % 2 == 0 \
+        else int(-(k * 2_147_483_629) - 2 ** 60)
+    got = read_orc(f, filters=[("big", "=", tgt_big)])
+    assert tgt_big in got.column("big").to_pylist()
+    assert got.num_rows < n // 4
+    tgt_price = k * 1.25 + 0.125
+    got = read_orc(f, filters=[("price", "=", tgt_price)])
+    assert tgt_price in got.column("price").to_pylist()
+    assert got.num_rows < n // 4
+    tgt_amt = pydec.Decimal(k).scaleb(-2)
+    got = read_orc(f2, filters=[("amt", "=", tgt_amt)])
+    assert tgt_amt in got.column("amt").to_pylist()
+    assert got.num_rows < n // 4
+    assert read_orc(f, filters=[("price", "=", 0.3)]).num_rows == 0
+    os.unlink(f)
+    os.unlink(f2)
