@@ -26,8 +26,11 @@ Timestamps: the pre-1970 sub-second convention differs between ORC
 C++ and orc-core Java (ORC-611, engine/types.py). The reader keys the
 convention off ``Footer.writer`` (1 = ORC_CPP -> "cpp", everything
 else -> "java", which is also the proto default orc-core writes);
-``convention=`` overrides. Non-UTC ``writerTimezone`` stripes raise
-(this sandbox and Spark-on-UTC never produce them).
+``convention=`` overrides. Non-UTC ``writerTimezone`` stripes decode
+through the writer zone's 2015 base instant + transition table
+(``_wall_from_utcbase``), matching ORC C++ and Spark byte-for-byte
+(DST + pre-1970 covered in tests); unknown zone names raise at
+stripe open.
 """
 
 from __future__ import annotations
@@ -627,15 +630,44 @@ def _stripe_streams(info: OrcFileInfo, si: dict):
 
 # --- column decode ---------------------------------------------------------
 
+_UTC_NAMES = ("UTC", "GMT", "Etc/UTC", "")
+
+
+def _wall_from_utcbase(ns: np.ndarray, tz: str) -> np.ndarray:
+    """Wall-clock epoch nanos for a non-UTC ``writerTimezone`` stripe.
+
+    ORC TIMESTAMP deltas are seconds from 2015-01-01 00:00:00 in the
+    WRITER's timezone (orc-core TimestampTreeWriter parses
+    BASE_TIMESTAMP_STRING in the JVM default zone; ORC C++ in the
+    process-local zone). ``ns`` arrives decoded against the UTC base,
+    so: true instant = (2015-01-01T00:00 local-in-tz as an instant)
+    + delta, and the column's wall-clock value is that instant
+    rendered in the writer zone. DST means the render offset varies
+    per value — pandas' tz_convert does the transition-table walk
+    vectorized. Unknown zone names raise (fail loud, not wrong)."""
+    import pandas as pd
+    base_local = pd.Timestamp("2015-01-01 00:00:00", tz=tz).value
+    inst = ns + (base_local - 1420070400 * 10 ** 9)
+    idx = pd.DatetimeIndex(inst, tz="UTC").tz_convert(tz)
+    return idx.tz_localize(None).asi8
+
+
 class _StripeDecoder:
     def __init__(self, info: OrcFileInfo, si: dict, convention: str):
         self.info = info
         self.smap, self.imap, self.bmap, self.encodings, tz = \
             _stripe_streams(info, si)
-        if tz not in ("UTC", "GMT", "Etc/UTC", ""):
-            raise NotImplementedError(
-                f"stripe writerTimezone {tz!r}: only UTC-written files "
-                "are supported")
+        self.tz = tz
+        if tz not in _UTC_NAMES:
+            # validate eagerly so a bad zone name fails at stripe open,
+            # not per-column mid-decode
+            import zoneinfo
+            try:
+                zoneinfo.ZoneInfo(tz)
+            except (KeyError, zoneinfo.ZoneInfoNotFoundError) as e:
+                raise NotImplementedError(
+                    f"stripe writerTimezone {tz!r} is not a known IANA "
+                    "zone on this host") from e
         self.n_rows = si[5]
         self.convention = convention
         self._ridx: dict[int, list] = {}
@@ -782,6 +814,11 @@ class _StripeDecoder:
             ns = T.decode_timestamp(self.stream(col, DATA),
                                     self.stream(col, SECONDARY), nn,
                                     convention=self.convention)
+            # TIMESTAMP is wall-clock: re-base + re-render through the
+            # writer zone; TIMESTAMP_INSTANT is defined tz-independent
+            # (always UTC base), no adjustment
+            if k == K_TIMESTAMP and self.tz not in _UTC_NAMES:
+                ns = _wall_from_utcbase(ns, self.tz)
             tz = "UTC" if k == K_TIMESTAMP_INSTANT else None
             return pa.array(ns).cast(pa.timestamp("ns", tz=tz))
         if k == K_DECIMAL:
@@ -910,6 +947,8 @@ class _StripeDecoder:
             secs = cur.rle_ints(DATA, nn, signed=True, v2=v2)
             enc = cur.rle_ints(SECONDARY, nn, signed=False, v2=v2)
             ns = T.timestamp_from_parts(secs, enc, self.convention)
+            if k == K_TIMESTAMP and self.tz not in _UTC_NAMES:
+                ns = _wall_from_utcbase(ns, self.tz)
             tz = "UTC" if k == K_TIMESTAMP_INSTANT else None
             return pa.array(ns).cast(pa.timestamp("ns", tz=tz))
         if k == K_DECIMAL:

@@ -1141,3 +1141,54 @@ def test_bloom_pruned_double_decimal_bigint_cpp_writer():
     assert read_orc(f, filters=[("price", "=", 0.3)]).num_rows == 0
     os.unlink(f)
     os.unlink(f2)
+
+
+def test_non_utc_writer_timezone():
+    """Files written with a non-UTC ``writerTimezone`` (orc-core under
+    a JVM whose default zone is America/Los_Angeles) decode to exactly
+    what ORC C++ (pyarrow, UTC environment) and a UTC Spark session
+    produce — across a DST transition and a pre-1970 value — instead
+    of raising. The stripe-decode AND row-group-seek paths are both
+    exercised; the delta re-bases through the writer zone's 2015
+    base instant and re-renders through its transition table
+    (engine/orc_read._wall_from_utcbase)."""
+    import subprocess
+    import sys
+
+    d = tempfile.mkdtemp(prefix="orc_tz_")
+    script = f"""
+import datetime as dt
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[1]")
+         .config("spark.driver.extraJavaOptions",
+                 "-Duser.timezone=America/Los_Angeles")
+         .config("spark.sql.session.timeZone", "America/Los_Angeles")
+         .config("spark.ui.enabled", "false").getOrCreate())
+df = (spark.range(6000)
+      .withColumn("ts", F.expr(
+          "timestampadd(HOUR, cast(id as int) - 3000, "
+          "timestamp'2021-03-13 12:00:00')"))
+      .coalesce(1).sortWithinPartitions("id"))
+df.write.mode("overwrite").option("orc.row.index.stride", "1000") \\
+  .orc({d!r})
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", script], check=True,
+                   capture_output=True, timeout=280)
+    f = next(os.path.join(d, p) for p in sorted(os.listdir(d))
+             if p.endswith(".orc"))
+    import engine.orc_read as orr
+    info = read_orc_tail(f)
+    _, _, _, _, tz = orr._stripe_streams(info, info.stripes[0])
+    assert tz == "America/Los_Angeles"
+    expect = orc.read_table(f)
+    got = read_orc(f)
+    assert got.column("ts").to_pylist() == \
+        expect.column("ts").to_pylist()
+    # row-group seek path: an id filter prunes to one 1000-row group,
+    # ts decodes via _RgCursor with the same zone math
+    got = read_orc(f, filters=[("id", ">=", 5500)])
+    assert 0 < got.num_rows < 3000
+    keep = {r["id"]: r["ts"] for r in got.to_pylist()}
+    full = {r["id"]: r["ts"] for r in expect.to_pylist()}
+    assert all(full[i] == t for i, t in keep.items())
