@@ -187,12 +187,11 @@ def main():
     # input slabs) — the apples-to-apples row ORDER vs the reference's
     # single-threaded natural-order writer; the mandated ntok_range
     # skew strategy is measured below as the alternative
-    # min-of-3: the headline encode/decode numbers are graded against
-    # BASELINE.md, and r3's driver window showed 2 rounds still left
-    # ~40% first-touch degradation in the min on a loaded host
+    # min-of-2 (degraded-host walls run minutes per round; a third
+    # round risks the driver's bench budget for a marginal min gain)
     r = run_pipeline(cores, rows, verify=True,
                      rounds=int(os.environ.get(
-                         "SPARK_GRAFT_HEADLINE_ROUNDS", "3")))
+                         "SPARK_GRAFT_HEADLINE_ROUNDS", "2")))
     ntok = r["n_values"]
 
     # size under the n_tok-range + salt strategy (encode only)
@@ -262,11 +261,21 @@ def main():
     # degrade at most the first round of a leg, not its minimum
     leg_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
 
+    # soft deadline for one scaling pass: after each pair, stop adding
+    # pairs if the pass exceeded it (degraded-window walls run 5-10x;
+    # a bench that never returns is worse than one honest pair).
+    # Reported n = pairs actually run.
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S",
+                                    "720"))
+
     def run_pairs():
+        t_pass0 = time.time()
         thr: dict[int, list[float]] = {small: [], big: []}
         pair_eff: list[float] = []
         legs_out: list[dict] = []
         for i in range(n_pairs):
+            if i and time.time() - t_pass0 > budget_s:
+                break
             # alternate leg order per pair: monotonic host drift then
             # biases alternate pairs in opposite directions and cancels
             # in the median instead of crediting one leg systematically
@@ -297,7 +306,9 @@ def main():
                 (thr[big][-1] / thr[small][-1]) / (big / small))
         return thr, pair_eff, legs_out
 
+    t_scaling0 = time.time()
     thr, pair_eff, legs_out = run_pairs()
+    scaling_first_pass_s = time.time() - t_scaling0
 
     def flagged(pe):
         # median > 1 is physically impossible for true scaling; a
@@ -308,10 +319,13 @@ def main():
                 or max(pe) / min(pe) > 1.5)
 
     reran = False
-    if flagged(pair_eff):
+    if flagged(pair_eff) and scaling_first_pass_s < 600:
         # one re-run when flagged: keep whichever set is self-
         # consistent (smaller spread); if both are noisy, ship the
-        # honest flag rather than a meaningless headline
+        # honest flag rather than a meaningless headline. Skipped when
+        # the first pass already burned >10 min (a degraded window —
+        # doubling it risks the driver's bench budget; the honest
+        # noise flag ships instead).
         reran = True
         thr2, pair_eff2, legs_out2 = run_pairs()
         if (max(pair_eff2) / min(pair_eff2)
@@ -327,7 +341,7 @@ def main():
             "median": round(eff_median, 3),
             "min": round(min(pair_eff), 3),
             "max": round(max(pair_eff), 3),
-            "n": n_pairs,
+            "n": len(pair_eff),
         },
         "noise_dominated": flagged(pair_eff),
         "reran_on_noise": reran,

@@ -384,8 +384,10 @@ def stripes_matching(info: OrcFileInfo,
     """Planning-time stripe pruning from per-stripe statistics.
 
     ``filters``: [(column, op, literal)] conjunction with op in
-    {'<', '<=', '>', '>=', '=', '==', 'is_null', 'not_null'}; columns
-    are top-level fields. Returns the indices of stripes that MAY
+    {'<', '<=', '>', '>=', '=', '==', 'in', 'is_null', 'not_null'}
+    ('in' takes a list/tuple of members, pruned as a disjunction of
+    equalities at both the stats and bloom tiers); columns are
+    top-level fields. Returns the indices of stripes that MAY
     contain a matching row (a superset — apply the exact filter
     downstream). Conservative by construction: a stripe without
     Metadata, without a typed min/max, or with a literal of a
@@ -460,6 +462,9 @@ def _stats_may_match(st: dict | None, op: str, val) -> bool:
         return st.get("n", 1) != 0
     if st.get("n", 1) == 0:
         return False        # all null: no comparison can match
+    if op == "in":
+        # disjunction: keep the unit if ANY member may match
+        return any(_stats_may_match(st, "=", m) for m in val)
     mn, mx = st.get("min"), st.get("max")
     num = (int, float, decimal.Decimal)
     if mn is None or mx is None or \
@@ -558,7 +563,7 @@ def row_groups_matching(dec: "_StripeDecoder",
         return None
     blooms = {}
     for (_, op, _), f in res:
-        if op in ("=", "==") and f not in blooms:
+        if op in ("=", "==", "in") and f not in blooms:
             bl_ = dec.bloom_index(f)
             blooms[f] = bl_ if bl_ and len(bl_) == ng else None
     keep = []
@@ -569,10 +574,16 @@ def row_groups_matching(dec: "_StripeDecoder",
                 ok = False
                 break
             bf = blooms.get(f)
-            if bf is not None and op in ("=", "==") \
-                    and bf[g] is not None \
-                    and not _bloom_may_match(bf[g], val,
-                                             info.types[f].kind):
+            if bf is None or bf[g] is None:
+                continue
+            kind = info.types[f].kind
+            if op in ("=", "==") and \
+                    not _bloom_may_match(bf[g], val, kind):
+                ok = False
+                break
+            if op == "in" and \
+                    not any(_bloom_may_match(bf[g], m, kind)
+                            for m in val):
                 ok = False
                 break
         if ok:

@@ -194,6 +194,8 @@ def _filter_column(filters: list[tuple]):
             e = c.isNotNull()
         elif op in ("=", "=="):
             e = c == val
+        elif op == "in":
+            e = c.isin(list(val))
         elif op == "<":
             e = c < val
         elif op == "<=":

@@ -83,11 +83,13 @@ def _type_filter_literals(input_path: str,
             typed.append((name, op, val))
             continue
         if pa.types.is_integer(t) or pa.types.is_date(t):
-            val = int(val)
+            cast = int
         elif pa.types.is_floating(t):
-            val = float(val)
+            cast = float
         else:
-            val = str(val)
+            cast = str
+        val = [cast(m) for m in val] if isinstance(val, (list, tuple)) \
+            else cast(val)
         typed.append((name, op, val))
     return typed
 
@@ -147,7 +149,8 @@ def main(argv: list[str] | None = None) -> int:
     si.add_argument("--filter", action="append", default=[],
                     metavar="COL:OP:VALUE",
                     help="pushdown predicate, repeatable (ops: = < <= "
-                         "> >= is_null not_null); pruned at stripe AND "
+                         "> >= in is_null not_null; in takes a comma-"
+                         "separated list); pruned at stripe AND "
                          "row-group tiers, re-applied exactly")
     si.add_argument("--parallelism", type=int, default=None)
     si.add_argument("--allow-missing-columns", action="store_true",
@@ -226,7 +229,8 @@ def main(argv: list[str] | None = None) -> int:
                 val = None
             else:
                 name, op, v = parts
-                val = v
+                # col:in:a,b,c — a comma-separated member list
+                val = v.split(",") if op == "in" else v
             filters.append((name, op, val))
         # type the literals against the FILE schema, not the string's
         # shape: an auto-int'd literal on a string column would feed a

@@ -1192,3 +1192,62 @@ spark.stop()
     keep = {r["id"]: r["ts"] for r in got.to_pylist()}
     full = {r["id"]: r["ts"] for r in expect.to_pylist()}
     assert all(full[i] == t for i, t in keep.items())
+
+
+def test_in_filter_pushdown_all_tiers():
+    """'in' predicates prune as a disjunction of equalities at the
+    stripe-stats, row-group-stats AND bloom tiers, and never lose a
+    true member row. Sorted column -> stats prune; unsorted column
+    with blooms -> bloom prune."""
+    from engine.orc_read import stripes_matching
+    n = 10_000
+    rng = np.random.default_rng(5)
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({
+        "k": pa.array(range(n), type=pa.int64()),          # sorted
+        "u": pa.array(ids),                                # unsorted
+        "s": pa.array([f"doc-{int(i)}" for i in ids]),
+    })
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, stripe_rows=1000, row_index_stride=500,
+              bloom_columns=("u", "s"))
+    info = read_orc_tail(f)
+    # stripe tier: members in stripes 2 and 7 only
+    assert stripes_matching(info, [("k", "in", [2500, 7999])]) == [2, 7]
+    assert stripes_matching(info, [("k", "in", [20_000, -4])]) == []
+    # row-group tier via stats on the sorted column
+    got = read_orc(f, filters=[("k", "in", [123, 9876])])
+    assert {123, 9876} <= set(got.column("k").to_pylist())
+    assert got.num_rows <= 1000
+    # bloom tier on the unsorted columns: present members -> rows kept,
+    # absent members (in range) -> everything pruned
+    m1, m2 = int(ids[11]), int(ids[9000])
+    got = read_orc(f, filters=[("u", "in", [m1, m2])])
+    assert {m1, m2} <= set(got.column("u").to_pylist())
+    assert got.num_rows < n // 4
+    assert read_orc(
+        f, filters=[("u", "in", [10 ** 15, 10 ** 15 + 1])]).num_rows == 0
+    got = read_orc(f, filters=[("s", "in", [f"doc-{m1}", "doc-x"])])
+    assert f"doc-{m1}" in got.column("s").to_pylist()
+    assert got.num_rows < n // 4
+    os.unlink(f)
+
+
+def test_in_filter_distributed_exact(spark):
+    """read_orc_dir applies 'in' exactly after pruning (isin residual),
+    over files written by the engine's distributed writer."""
+    from jobs.orc_read import read_orc_dir
+    from jobs.orc_write import write_orc_dir
+    from pyspark.sql import functions as F
+    n = 20_000
+    df = (spark.range(n).withColumn(
+        "s", F.format_string("key%06d", F.col("id")))
+        .repartitionByRange(4, "id").sortWithinPartitions("id"))
+    out = tempfile.mkdtemp(prefix="orc_in_")
+    write_orc_dir(df, out, stripe_rows=512).collect()
+    want = [3, 4444, 19999]
+    got = (read_orc_dir(spark, out,
+                        filters=[("id", "in", want)])
+           .orderBy("id").collect())
+    assert [r.id for r in got] == want
+    assert [r.s for r in got] == [f"key{i:06d}" for i in want]
