@@ -689,6 +689,33 @@ def _q_orc_decimal_pruned(spark, sf_dir):
     return dec.select("doc_id", "amt")
 
 
+def _q_orc_in_scan(spark, sf_dir):
+    """'in' predicate pushdown through the full distributed path: the
+    member list prunes as a disjunction of equalities at the stripe-
+    stats, row-group-stats and bloom tiers
+    (engine/orc_read.py::_stats_may_match / row_groups_matching), and
+    read_orc_dir re-applies it exactly with isin. Unsorted doc_id
+    strings make the blooms the only pruning surface for the string
+    member; sorted n_tok makes the stats tiers bite for the others."""
+    import tempfile
+
+    from jobs.orc_read import read_orc_dir
+    from jobs.orc_write import write_orc_dir
+
+    tok = (_token_df(spark, sf_dir).repartitionByRange(4, "n_tok")
+           .sortWithinPartitions("n_tok"))
+    out = tempfile.mkdtemp(prefix="orc_in_scan_")
+    write_orc_dir(tok, out, stripe_rows=64,
+                  row_index_stride=64,
+                  bloom_columns=("doc_id",)).collect()
+    # doc_id is UNSORTED in this n_tok-ordered layout, so the string
+    # blooms are the only index that can prune these equality members
+    dec = read_orc_dir(spark, out, columns=["doc_id", "n_tok"],
+                       filters=[("doc_id", "in",
+                                 ["7", "63", "88", "99", "absent"])])
+    return dec.select("doc_id", "n_tok")
+
+
 def _q_orc_rowgroup_seek(spark, sf_dir):
     """ROW-GROUP-level predicate pushdown inside stripes (M2 as a
     *file* surface): the engine writer emits per-column ROW_INDEX
@@ -1012,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planning-time stripe pruning from Metadata statistics
         "orc_pruned_scan": _q_orc_pruned_scan,            # M1+M6 (files)
         "orc_decimal_pruned": _q_orc_decimal_pruned,      # M1+T2 (files)
+        "orc_in_scan": _q_orc_in_scan,                    # M1-M3 'in'
         "orc_rowgroup_seek": _q_orc_rowgroup_seek,        # M2 (files)
         # LZ4 chunk codec both directions (engine write -> orc-core
         # read; orc-core write -> engine read)
@@ -1156,6 +1184,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    CAST({_SQL_NTOK} + 0.25 AS DECIMAL(12,2)) AS amt
             FROM documents WHERE {_SQL_NTOK} + 0.25 >= 90.25""",
+        "orc_in_scan": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok
+            FROM documents
+            WHERE CAST(doc_id AS VARCHAR) IN
+                  ('7', '63', '88', '99', 'absent')""",
         "orc_rowgroup_seek": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok

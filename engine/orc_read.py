@@ -1226,7 +1226,7 @@ def _stripe_window(f, info: OrcFileInfo, si: dict,
     res = _resolved_filters(info, filters) if filters else []
     for (_, op, _), fc in res:
         need.update(_subtree(info, fc))
-        if op in ("=", "=="):
+        if op in ("=", "==", "in"):
             eq_cols.add(fc)
     ranges = []          # [start, stop) of needed streams, in order
     pos = off

@@ -34,7 +34,8 @@ def write_orc_dir(df: DataFrame, out_dir: str,
                   stripe_rows: int = 1_000_000,
                   timestamp_convention: str = "cpp",
                   row_index_stride: int = 10_000,
-                  compression: str = "zlib") -> DataFrame:
+                  compression: str = "zlib",
+                  bloom_columns: tuple | list = ()) -> DataFrame:
     """Write ``df`` as a directory of ORC part-files, one per physical
     partition; returns the (lazy) per-file manifest DataFrame —
     ``.collect()`` it to run the write. Empty partitions emit nothing.
@@ -45,6 +46,8 @@ def write_orc_dir(df: DataFrame, out_dir: str,
     ``compression``: "zlib" (default — ORC's own default codec, ~2x
     smaller part-files, positions stay seekable), "snappy", "lz4",
     "zstd", "brotli", or "none" (engine.orc_file.write_orc).
+    ``bloom_columns``: per-row-group BLOOM_FILTER_UTF8 streams for
+    these columns (engine.orc_file.write_orc).
     """
     out_dir = _require_local(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -64,7 +67,8 @@ def write_orc_dir(df: DataFrame, out_dir: str,
         write_orc(tbl, tmp, stripe_rows=stripe_rows,
                   timestamp_convention=timestamp_convention,
                   row_index_stride=row_index_stride,
-                  compression=compression)
+                  compression=compression,
+                  bloom_columns=tuple(bloom_columns))
         os.replace(tmp, path)  # atomic publish, crash leaves no partials
         yield pa.RecordBatch.from_arrays(
             [pa.array([path]), pa.array([pid], type=pa.int64()),

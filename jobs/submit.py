@@ -136,6 +136,12 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--stripe-rows", type=int, default=1_000_000)
     so.add_argument("--timestamp-convention", default="cpp",
                     choices=["cpp", "java"])
+    so.add_argument("--bloom-columns", default=None,
+                    help="comma-separated columns to emit per-row-group "
+                         "BLOOM_FILTER_UTF8 streams for (int/date/"
+                         "float/double/decimal/string kinds)")
+    so.add_argument("--row-index-stride", type=int, default=10_000,
+                    help="rows per ROW_INDEX entry (0 disables)")
     so.add_argument("--compression", default="zlib",
                     choices=["zlib", "snappy", "lz4", "zstd", "brotli",
                              "none"])
@@ -208,7 +214,10 @@ def main(argv: list[str] | None = None) -> int:
         manifest = write_orc_dir(
             df, a.output, stripe_rows=a.stripe_rows,
             timestamp_convention=a.timestamp_convention,
-            compression=a.compression).collect()
+            compression=a.compression,
+            row_index_stride=a.row_index_stride,
+            bloom_columns=tuple(a.bloom_columns.split(","))
+            if a.bloom_columns else ()).collect()
         print(json.dumps({"files": len(manifest),
                           "rows": sum(m["n_rows"] for m in manifest),
                           "bytes": sum(m["n_bytes"] for m in manifest)}))

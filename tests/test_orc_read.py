@@ -1244,10 +1244,19 @@ def test_in_filter_distributed_exact(spark):
         "s", F.format_string("key%06d", F.col("id")))
         .repartitionByRange(4, "id").sortWithinPartitions("id"))
     out = tempfile.mkdtemp(prefix="orc_in_")
-    write_orc_dir(df, out, stripe_rows=512).collect()
+    # bloomed string column: pins the stream-projection window to
+    # include BLOOM_FILTER_UTF8 ranges for 'in' filters (fail-loud
+    # unread-range guard catches the omission)
+    write_orc_dir(df, out, stripe_rows=512, row_index_stride=256,
+                  bloom_columns=("s",)).collect()
     want = [3, 4444, 19999]
     got = (read_orc_dir(spark, out,
                         filters=[("id", "in", want)])
            .orderBy("id").collect())
     assert [r.id for r in got] == want
     assert [r.s for r in got] == [f"key{i:06d}" for i in want]
+    got = (read_orc_dir(spark, out, columns=["id", "s"],
+                        filters=[("s", "in",
+                                  ["key000003", "key019999", "nope"])])
+           .orderBy("id").collect())
+    assert [r.id for r in got] == [3, 19999]

@@ -290,3 +290,31 @@ def test_submit_import_orc_typed_filters(spark, token_parquet, tmp_path):
     typed = _type_filter_literals(
         orcdir, [("doc_id", "=", "123"), ("n_tok", ">=", "100")])
     assert typed == [("doc_id", "=", "123"), ("n_tok", ">=", 100)]
+
+
+def test_submit_export_import_bloom_in_roundtrip(spark, token_parquet,
+                                                 tmp_path):
+    """export-orc --bloom-columns emits per-row-group blooms the
+    import-orc 'in' filter (col:in:a,b,c CLI form) prunes through; the
+    result is the exact member set."""
+    import pyarrow.parquet as pq
+
+    from jobs.submit import main as submit_main
+    ids = pq.read_table(token_parquet,
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    want = sorted({ids[12], ids[777], ids[3999]})
+    out = str(tmp_path / "orcdir")
+    rc = submit_main(["export-orc", "--input", token_parquet,
+                      "--output", out, "--partitions", "2",
+                      "--stripe-rows", "512",
+                      "--row-index-stride", "256",
+                      "--bloom-columns", "doc_id"])
+    assert rc == 0
+    back = str(tmp_path / "back")
+    rc = submit_main(["import-orc", "--input", out, "--output", back,
+                      "--columns", "doc_id,n_tok",
+                      "--filter",
+                      "doc_id:in:" + ",".join(want + ["nope"])])
+    assert rc == 0
+    got = spark.read.parquet(back)
+    assert sorted(r.doc_id for r in got.collect()) == want
