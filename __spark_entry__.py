@@ -716,6 +716,32 @@ def _q_orc_in_scan(spark, sf_dir):
     return dec.select("doc_id", "n_tok")
 
 
+def _q_orc_meta_agg(spark, sf_dir):
+    """Metadata-only aggregates: COUNT/MIN/MAX over a whole ORC
+    directory computed from the ~KB file TAILS alone — the engine
+    writer's footer-level ColumnStatistics
+    (engine/orc_file.py cross-stripe aggregation) parsed back by
+    engine.orc_read.OrcFileInfo.file_stats and distributed one
+    tail-read per file (jobs/orc_read.read_orc_dir_stats). Zero
+    stripe bytes are touched; at a million files this is the entire
+    cost of SELECT COUNT(*), MIN(x), MAX(x)."""
+    import tempfile
+
+    from jobs.orc_read import read_orc_dir_stats
+    from jobs.orc_write import write_orc_dir
+
+    tok = _token_df(spark, sf_dir).repartition(4)
+    out = tempfile.mkdtemp(prefix="orc_meta_agg_")
+    write_orc_dir(tok, out).collect()
+    st = read_orc_dir_stats(spark, out, ["n_tok", "doc_id"])
+    return st.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("min_n_tok").cast("int").alias("min_ntok"),
+        F.max("max_n_tok").cast("int").alias("max_ntok"),
+        F.min("min_doc_id").alias("min_docid"),
+        F.max("max_doc_id").alias("max_docid"))
+
+
 def _q_orc_rowgroup_seek(spark, sf_dir):
     """ROW-GROUP-level predicate pushdown inside stripes (M2 as a
     *file* surface): the engine writer emits per-column ROW_INDEX
@@ -1040,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_pruned_scan": _q_orc_pruned_scan,            # M1+M6 (files)
         "orc_decimal_pruned": _q_orc_decimal_pruned,      # M1+T2 (files)
         "orc_in_scan": _q_orc_in_scan,                    # M1-M3 'in'
+        "orc_meta_agg": _q_orc_meta_agg,                  # M1 tails-only
         "orc_rowgroup_seek": _q_orc_rowgroup_seek,        # M2 (files)
         # LZ4 chunk codec both directions (engine write -> orc-core
         # read; orc-core write -> engine read)
@@ -1190,6 +1217,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE CAST(doc_id AS VARCHAR) IN
                   ('7', '63', '88', '99', 'absent')""",
+        "orc_meta_agg": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN({_SQL_NTOK}) AS INTEGER) AS min_ntok,
+                   CAST(MAX({_SQL_NTOK}) AS INTEGER) AS max_ntok,
+                   MIN(CAST(doc_id AS VARCHAR)) AS min_docid,
+                   MAX(CAST(doc_id AS VARCHAR)) AS max_docid
+            FROM documents""",
         "orc_rowgroup_seek": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok

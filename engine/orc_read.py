@@ -220,6 +220,7 @@ class OrcFileInfo:
         self.num_rows = 0
         self.writer = 0  # proto default = ORC_JAVA
         self.row_index_stride = 0
+        self._file_stats_raw: list = []
         self.types: list[_TypeNode] = []
         self.stripes: list[dict] = []
         for fno, wt, v in _fields(footer):
@@ -251,6 +252,8 @@ class OrcFileInfo:
                 self.types.append(t)
             elif fno == 6:
                 self.num_rows = v
+            elif fno == 7:  # file-level ColumnStatistics
+                self._file_stats_raw.append(v)
             elif fno == 8:
                 self.row_index_stride = v
             elif fno == 9:
@@ -315,6 +318,16 @@ class OrcFileInfo:
                 out.append(cols)
             self._stripe_stats = out
         return self._stripe_stats
+
+    def file_stats(self) -> list[dict] | None:
+        """Footer file-level ColumnStatistics -> one stat dict
+        {n, has_null, min, max} per flattened column (index 0 = root
+        struct). Tails-only: COUNT/MIN/MAX over a whole file without
+        reading a single stripe byte. None when the writer emitted no
+        footer statistics."""
+        if not self._file_stats_raw:
+            return None
+        return [_parse_col_stats(v) for v in self._file_stats_raw]
 
 
 def _zz(u: int) -> int:

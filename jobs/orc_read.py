@@ -84,6 +84,75 @@ def plan_orc_splits(spark: SparkSession, files: list[str],
     return paths.repartition(n_plan).mapInArrow(tails, SPLIT_DDL)
 
 
+def read_orc_dir_stats(spark: SparkSession, path: str,
+                       columns: list[str]) -> DataFrame:
+    """Metadata-only table statistics: one row per file with its row
+    count and each requested column's file-level min/max, read from
+    the ~KB file tails ALONE (engine.orc_read.OrcFileInfo.file_stats —
+    Footer ColumnStatistics; zero stripe bytes touched). COUNT/MIN/MAX
+    over a million-file table costs one tail read per file. Columns
+    must be int/float/string/decimal/date top-level fields; a file
+    without footer statistics yields typed nulls for min/max (its
+    n_rows still counts)."""
+    files = list_orc_files(path)
+    from engine.orc_read import read_orc_tail
+    schema = read_orc_tail(files[0]).schema()
+    fields = [pa.field("path", pa.string()),
+              pa.field("n_rows", pa.int64())]
+    for c in columns:
+        i = schema.get_field_index(c)
+        if i < 0:
+            raise KeyError(f"column {c!r} not in ORC schema "
+                           f"{schema.names}")
+        t = schema.field(i).type
+        if pa.types.is_date(t):
+            t = pa.date32()
+        elif not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                  or pa.types.is_string(t) or pa.types.is_large_string(t)
+                  or pa.types.is_decimal(t)):
+            raise NotImplementedError(
+                f"tail-stats on column {c!r} of type {t} (supported: "
+                "int/float/string/decimal/date)")
+        fields.append(pa.field(f"min_{c}", t))
+        fields.append(pa.field(f"max_{c}", t))
+    out_schema = pa.schema(fields)
+    ddl = ", ".join(
+        f"{f.name} {from_arrow_schema(pa.schema([f]))[0].dataType.simpleString()}"
+        for f in out_schema)
+    paths = spark.createDataFrame([(f,) for f in files], "path string")
+    n_plan = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+
+    def tails(batches):
+        import pyarrow as pa
+
+        from engine.orc_read import read_orc_tail
+        for batch in batches:
+            for p in batch.column("path").to_pylist():
+                info = read_orc_tail(p)
+                fs = info.file_stats()
+                sch = info.schema()
+                arrs = [pa.array([p], type=pa.string()),
+                        pa.array([info.num_rows], type=pa.int64())]
+                for c in columns:
+                    # flattened ids: root=0, top-level col i -> subtree
+                    # root at root.subtypes[i]
+                    fid = info.types[0].subtypes[sch.get_field_index(c)]
+                    st = (fs[fid] if fs and fid < len(fs) else {}) or {}
+                    typ = out_schema.field(f"min_{c}").type
+                    for key in ("min", "max"):
+                        v = st.get(key)
+                        if v is not None and pa.types.is_date32(typ):
+                            arr = pa.array([v], type=pa.int32()) \
+                                .cast(pa.date32())
+                        else:
+                            arr = pa.array([v], type=typ)
+                        arrs.append(arr)
+                yield pa.RecordBatch.from_arrays(
+                    arrs, schema=out_schema)
+
+    return paths.repartition(n_plan).mapInArrow(tails, ddl)
+
+
 def read_orc_dir(spark: SparkSession, path: str,
                  columns: list[str] | None = None,
                  convention: str | None = None,

@@ -1295,3 +1295,33 @@ def test_corrupt_files_fail_loud():
             pass
         os.unlink(g)
     os.unlink(f)
+
+
+def test_tail_only_dir_stats_both_writers(spark):
+    """read_orc_dir_stats computes per-file COUNT/MIN/MAX from file
+    tails alone, over directories written by the engine writer AND by
+    orc-core (Java footer ColumnStatistics parse — field 7)."""
+    from pyspark.sql import functions as F
+
+    from jobs.orc_read import read_orc_dir_stats
+    from jobs.orc_write import write_orc_dir
+    n = 30_000
+    df = (spark.range(n)
+          .withColumn("s", F.format_string("k%06d", F.col("id"))))
+    for writer in ("engine", "java"):
+        out = tempfile.mkdtemp(prefix=f"tstats_{writer}_")
+        if writer == "engine":
+            write_orc_dir(df.repartition(3), out,
+                          stripe_rows=4096).collect()
+        else:
+            df.repartition(3).write.mode("overwrite").orc(out)
+        st = read_orc_dir_stats(spark, out, ["id", "s"])
+        agg = st.agg(F.sum("n_rows").alias("n"),
+                     F.min("min_id").alias("mi"),
+                     F.max("max_id").alias("ma"),
+                     F.min("min_s").alias("ms"),
+                     F.max("max_s").alias("xs")).collect()[0]
+        assert (agg.n, agg.mi, agg.ma) == (n, 0, n - 1), writer
+        assert (agg.ms, agg.xs) == ("k000000", f"k{n - 1:06d}"), writer
+    with pytest.raises(KeyError):
+        read_orc_dir_stats(spark, out, ["nope"])
