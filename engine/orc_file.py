@@ -133,7 +133,12 @@ def _i128_minmax(lo: np.ndarray, hi: np.ndarray) -> tuple[int, int]:
 
 def _dec_val(unscaled: int, scale: int):
     import decimal
-    return decimal.Decimal(unscaled).scaleb(-scale)
+    # default context precision (28) would silently ROUND a >28-digit
+    # unscaled value, writing min/max stats that exclude real rows
+    # (false pruning); decimal128 needs up to 39 digits
+    with decimal.localcontext() as ctx:
+        ctx.prec = 40
+        return decimal.Decimal(unscaled).scaleb(-scale)
 
 
 def _col_stats_pb(nv: int, has_null: bool, stat) -> bytes:
@@ -699,8 +704,7 @@ def _hive_decimal_strings(vals: pa.Array) -> pa.Array:
     s = vals.cast(pa.large_string())
     s = pc.replace_substring_regex(s, r"(\.\d*?)0+$", r"\1")
     s = pc.replace_substring_regex(s, r"\.$", "")
-    s = pc.replace_substring_regex(s, r"^-0$", "0")
-    return s.cast(pa.large_string())
+    return pc.replace_substring_regex(s, r"^-0$", "0")
 
 
 def _bloom_index_pb(arr: pa.Array, col: _Col, stride: int,
@@ -732,7 +736,11 @@ def _bloom_index_pb(arr: pa.Array, col: _Col, stride: int,
         # hash the float widened to double. doubleToLongBits
         # canonicalizes every NaN to 0x7ff8000000000000
         d = np.asarray(vals.cast(pa.float64()), dtype=np.float64)
-        v = d.view(np.int64).copy()
+        # + 0.0 normalizes -0.0 to +0.0 (IEEE): SQL 0.0 == -0.0, so
+        # both must land on one bit pattern (the reader also probes
+        # both patterns for zero literals, covering foreign writers
+        # that hash raw -0.0 bits)
+        v = (d + 0.0).view(np.int64).copy()
         nan = np.isnan(d)
         if nan.any():
             v[nan] = 0x7FF8000000000000

@@ -360,7 +360,6 @@ def _parse_col_stats(v) -> dict:
                 if f3 in (1, 2) and w3 == 2:
                     d["min" if f3 == 1 else "max"] = v3.decode()
         elif f2 == 6:       # DecimalStatistics (decimal strings)
-            import decimal
             for f3, w3, v3 in _fields(v2):
                 if f3 in (1, 2) and w3 == 2:
                     try:
@@ -485,11 +484,16 @@ def _stats_may_match(st: dict | None, op: str, val) -> bool:
             not (isinstance(val, num) and isinstance(mn, num)):
         return True         # unprunable: keep
     if isinstance(mn, decimal.Decimal) and isinstance(val, float):
-        # exact comparison semantics: Decimal vs float compares by
-        # true value in Python, no conversion needed — but NaN keeps
+        # Spark/DuckDB compare decimal vs double by CASTING the
+        # decimal to double, so prune in the double domain: float()
+        # is monotone non-decreasing, hence v in [mn, mx] implies
+        # double(v) in [float(mn), float(mx)] and the bounds stay
+        # conservative. Comparing exact Decimals here instead could
+        # prune a row group whose rows the double-domain residual
+        # filter matches. NaN keeps.
         if val != val:
             return True
-        val = decimal.Decimal(str(val))
+        mn, mx = float(mn), float(mx)
     if op in ("=", "=="):
         return mn <= val <= mx
     if op == "<":
@@ -531,6 +535,12 @@ def _bloom_may_match(bf, val, kind: int) -> bool:
         d = np.float64(val)
         if np.isnan(d):
             return True
+        if d == 0:
+            # SQL 0.0 == -0.0 but the two have distinct bit patterns;
+            # probe both so a -0.0 stored by any writer is not falsely
+            # pruned for a 0.0 literal (and vice versa)
+            bits = np.array([0.0, -0.0], dtype=np.float64)
+            return bool(bf.test_longs(bits.view(np.int64)).any())
         return bool(bf.test_longs(
             np.array([d], dtype=np.float64).view(np.int64))[0])
     if kind == K_DECIMAL:

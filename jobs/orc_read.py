@@ -135,9 +135,18 @@ def read_orc_dir_stats(spark: SparkSession, path: str,
                         pa.array([info.num_rows], type=pa.int64())]
                 for c in columns:
                     # flattened ids: root=0, top-level col i -> subtree
-                    # root at root.subtypes[i]
-                    fid = info.types[0].subtypes[sch.get_field_index(c)]
-                    st = (fs[fid] if fs and fid < len(fs) else {}) or {}
+                    # root at root.subtypes[i]. A schema-evolved file
+                    # missing the column yields typed nulls (its
+                    # n_rows still counts) — get_field_index returns
+                    # -1 there, which would silently index the LAST
+                    # column's stats
+                    j = sch.get_field_index(c)
+                    if j < 0:
+                        st = {}
+                    else:
+                        fid = info.types[0].subtypes[j]
+                        st = (fs[fid] if fs and fid < len(fs)
+                              else {}) or {}
                     typ = out_schema.field(f"min_{c}").type
                     for key in ("min", "max"):
                         v = st.get(key)

@@ -86,6 +86,12 @@ def _type_filter_literals(input_path: str,
             cast = int
         elif pa.types.is_floating(t):
             cast = float
+        elif pa.types.is_decimal(t):
+            # a str literal would read as type-mismatched by the
+            # decimal stats/bloom tiers (unprunable keep); Decimal
+            # literals engage them
+            import decimal
+            cast = decimal.Decimal
         else:
             cast = str
         val = [cast(m) for m in val] if isinstance(val, (list, tuple)) \

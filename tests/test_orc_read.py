@@ -1325,3 +1325,61 @@ def test_tail_only_dir_stats_both_writers(spark):
         assert (agg.ms, agg.xs) == ("k000000", f"k{n - 1:06d}"), writer
     with pytest.raises(KeyError):
         read_orc_dir_stats(spark, out, ["nope"])
+
+
+def test_review_fixes_decimal_precision_zero_bloom_stats_domain(spark):
+    """Regression pins for the r4 review findings: (1) decimal(38)
+    stats are exact beyond the default 28-digit context (no rounding
+    -> no false pruning, and tail stats build valid decimal128
+    arrays); (2) float literals prune decimal stats in the DOUBLE
+    domain (the residual filter's domain), not by exact Decimal
+    compare; (3) -0.0 and 0.0 are one equality class through the
+    bloom tier; (4) dir stats over a schema-evolved directory yield
+    typed nulls for files lacking the column."""
+    from engine.orc_read import _stats_may_match
+    from jobs.orc_read import read_orc_dir_stats
+
+    # (1) 38-digit decimals: stats exact, equality on the max value
+    # survives pruning, tail stats don't overflow decimal128
+    big = pydec.Decimal(10) ** 37 + 7
+    vals = [big - i for i in range(1000)]
+    t = pa.table({"amt": pa.array(vals, type=pa.decimal128(38, 0))})
+    d = tempfile.mkdtemp(prefix="dec38_")
+    write_orc(t, os.path.join(d, "p.orc"), stripe_rows=250)
+    got = read_orc(os.path.join(d, "p.orc"),
+                   filters=[("amt", "=", big)])
+    assert big in got.column("amt").to_pylist()
+    st = read_orc_dir_stats(spark, d, ["amt"])
+    row = st.collect()[0]
+    assert row.min_amt == big - 999 and row.max_amt == big
+
+    # (2) double-domain pruning: a decimal whose exact value differs
+    # from the float literal but casts equal must KEEP
+    v = pydec.Decimal("0.100000000000000005551")
+    stat = {"n": 10, "has_null": False, "min": v, "max": v}
+    assert float(v) == 0.1
+    assert _stats_may_match(stat, "=", 0.1)
+
+    # (3) negative zero: engine-written bloom, 0.0 literal finds it
+    n = 5000
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=n)
+    x[123] = -0.0
+    t2 = pa.table({"x": pa.array(x)})
+    f2 = tempfile.mktemp(suffix=".orc")
+    write_orc(t2, f2, row_index_stride=500, bloom_columns=("x",))
+    got = read_orc(f2, filters=[("x", "=", 0.0)])
+    assert any(v == 0 for v in got.column("x").to_pylist())
+
+    # (4) schema-evolved dir stats: missing column -> typed nulls,
+    # n_rows still counted
+    d2 = tempfile.mkdtemp(prefix="evolve_stats_")
+    write_orc(pa.table({"a": pa.array(range(10), type=pa.int64()),
+                        "b": pa.array(range(10), type=pa.int64())}),
+              os.path.join(d2, "new.orc"))
+    write_orc(pa.table({"a": pa.array(range(5), type=pa.int64())}),
+              os.path.join(d2, "old.orc"))
+    st2 = read_orc_dir_stats(spark, d2, ["b"]).collect()
+    by = {os.path.basename(r.path): r for r in st2}
+    assert by["new.orc"].min_b == 0 and by["new.orc"].max_b == 9
+    assert by["old.orc"].min_b is None and by["old.orc"].n_rows == 5
