@@ -716,6 +716,32 @@ def _q_orc_in_scan(spark, sf_dir):
     return dec.select("doc_id", "n_tok")
 
 
+def _q_orcx_scan(spark, sf_dir):
+    """The engine as an idiomatic Spark source: jobs/datasource.py
+    registers the ORC reader/writer as a Python Data Source
+    (pyspark.sql.datasource, Spark 4.x), so the whole path drives
+    through ``df.write.format("orcx")`` / ``spark.read.format("orcx")``
+    — Catalyst hands the scan its predicates via ``pushFilters`` and
+    the source prunes stripes at planning time from the ~KB file
+    tails (then returns every filter for Spark's exact
+    re-evaluation), bins surviving stripes into splits, and yields
+    Arrow batches. Same range-sorted layout as orc_pruned_scan, same
+    oracle."""
+    import tempfile
+
+    from jobs.datasource import register
+
+    register(spark, enable_pushdown=True)
+    tok = (_token_df(spark, sf_dir).select("doc_id", "n_tok", "source")
+           .repartitionByRange(4, "n_tok")
+           .sortWithinPartitions("n_tok"))
+    out = tempfile.mkdtemp(prefix="orcx_scan_")
+    (tok.write.format("orcx").option("stripe_rows", "64")
+     .mode("overwrite").save(out))
+    df = spark.read.format("orcx").load(out)
+    return df.where(F.col("n_tok") >= 90).select("doc_id", "n_tok")
+
+
 def _q_orc_meta_agg(spark, sf_dir):
     """Metadata-only aggregates: COUNT/MIN/MAX over a whole ORC
     directory computed from the ~KB file TAILS alone — the engine
@@ -1066,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_pruned_scan": _q_orc_pruned_scan,            # M1+M6 (files)
         "orc_decimal_pruned": _q_orc_decimal_pruned,      # M1+T2 (files)
         "orc_in_scan": _q_orc_in_scan,                    # M1-M3 'in'
+        # Python Data Source binding: format("orcx") with pushFilters
+        "orcx_scan": _q_orcx_scan,                        # M4-M6 (DSv2)
         "orc_meta_agg": _q_orc_meta_agg,                  # M1 tails-only
         "orc_rowgroup_seek": _q_orc_rowgroup_seek,        # M2 (files)
         # LZ4 chunk codec both directions (engine write -> orc-core
@@ -1217,6 +1245,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE CAST(doc_id AS VARCHAR) IN
                   ('7', '63', '88', '99', 'absent')""",
+        "orcx_scan": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok
+            FROM documents WHERE {_SQL_NTOK} >= 90""",
         "orc_meta_agg": f"""
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(MIN({_SQL_NTOK}) AS INTEGER) AS min_ntok,

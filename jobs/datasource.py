@@ -1,0 +1,377 @@
+"""PySpark Python Data Source binding for the engine's ORC surface.
+
+Registers the engine's file reader/writer (engine/orc_read.py,
+engine/orc_file.py) as a first-class Spark source named ``orcx`` via
+the Spark 4.x Python Data Source API (pyspark.sql.datasource), so the
+whole stack drives through the idiomatic reader/writer interface:
+
+    from jobs.datasource import register
+    register(spark)
+    df = (spark.read.format("orcx")
+          .option("columns", "doc_id,n_tok")
+          .load("/data/tokens_orc"))          # filters push down
+    df.where("n_tok >= 900").collect()
+    out.write.format("orcx").option("compression", "zstd") \
+       .mode("overwrite").save("/data/out_orc")
+
+What Spark's planner hands the source is used the way a native DSv2
+source would:
+
+* **Filter pushdown** — ``pushFilters`` receives Catalyst's
+  translated predicates (EqualTo/GreaterThan/.../In, nested columns
+  as dotted paths) and forwards the representable conjuncts to the
+  engine's THREE pruning tiers (planning-time stripe statistics,
+  per-row-group statistics + bloom filters, ROW_INDEX seek —
+  jobs/orc_read.py docstring). Every filter is returned to Spark as
+  well, so Spark re-applies them exactly: the engine tiers prune
+  supersets; correctness never depends on them.
+* **Split planning** — ``partitions()`` lists the directory, reads
+  only the ~KB file tails, drops statistics-precluded stripes, and
+  bins surviving stripes into splits of ``split_mb`` (default 64 MB)
+  so a thousand-stripe file fans out across the cluster while tiny
+  files don't each cost a task. (Tail reads are threaded driver-side
+  I/O here; the mapInArrow twin jobs/orc_read.plan_orc_splits does
+  the same planning distributed when the file count demands it.)
+* **Column pruning** — the reader decodes only the fields of the
+  schema Spark passes (pass ``.schema(...)`` or ``columns`` to
+  project); unprojected columns' stream bytes are never read
+  (engine.orc_read.read_orc_stripes I/O projection).
+* **Arrow batches** — ``read()`` yields pyarrow RecordBatches
+  (DataSourceArrowWriter symmetrical on the write side), so rows
+  never pass through Python objects.
+* **Commit protocol** — each write task publishes a uniquely-named
+  part file via tmp+rename; ``commit()`` writes a ``_SUCCESS``
+  manifest and (for overwrite mode) removes pre-existing part files
+  only after every task succeeded; ``abort()`` removes this job's
+  partials. A crashed job leaves the previous contents intact.
+
+Path contract: paths must be visible to driver and tasks (shared FS
+or local mode), same as jobs/orc_write.py.
+
+**Known Spark-side caveat (pinned in tests/test_datasource.py):**
+filter pushdown for Python sources is gated behind
+``spark.sql.python.filterPushdown.enabled`` (default false). With it
+enabled, Spark 4.1 caches the planned read (pickled reader +
+partitions) on the logical relation node; when one ``load()``
+DataFrame is reused by BOTH a filtered and an unfiltered query, the
+unfiltered query can silently reuse the filtered plan (measured:
+``df.count()`` returns the filtered count after ``df.where(...)``
+ran — reader()/pushFilters()/partitions() are not re-invoked at
+all). This is Spark's plan caching, not source state: ``reader()``
+is constructed fresh per planned query. Until Spark fixes the
+reuse, call ``load()`` per query shape when the pushdown conf is on
+(each load() gets its own relation node), or leave the conf at its
+default. ``register(spark, enable_pushdown=True)`` opts in
+explicitly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+_FILTER_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    In: "in",
+}
+
+
+def register(spark, enable_pushdown: bool = False) -> None:
+    """Register the ``orcx`` format with a SparkSession.
+
+    ``enable_pushdown`` flips ``spark.sql.python.filterPushdown
+    .enabled`` (a session conf, default false in Spark 4.1) so
+    ``pushFilters`` receives the scan predicates; see the module
+    docstring's plan-reuse caveat before enabling it in a session
+    that reuses one ``load()`` DataFrame across query shapes."""
+    spark.dataSource.register(OrcEngineDataSource)
+    if enable_pushdown:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def _to_engine_filters(filters: Sequence[Filter]) -> list[tuple]:
+    """Translate the representable Spark filters to the engine's
+    ``(column, op, literal)`` conjunction. Unrepresentable filters are
+    simply not translated — the source returns ALL filters to Spark
+    for exact re-evaluation, so skipping one only costs pruning."""
+    out = []
+    for f in filters:
+        op = _FILTER_OPS.get(type(f))
+        if op is None:
+            continue
+        col = ".".join(f.attribute)  # nested fields prune on their own stats
+        val = tuple(f.value) if op == "in" else f.value
+        out.append((col, op, val))
+    return out
+
+
+@dataclass
+class OrcInputPartition(InputPartition):
+    """One read split: a run of surviving stripes of one file."""
+    path: str
+    stripes: tuple
+
+
+@dataclass
+class OrcCommitMessage(WriterCommitMessage):
+    path: str
+    n_rows: int
+    n_bytes: int
+
+
+class OrcEngineDataSource(DataSource):
+    """``spark.read.format("orcx")`` / ``df.write.format("orcx")``.
+
+    Read options: ``path`` (file or directory), ``columns``
+    (comma-separated projection; or pass ``.schema(...)``),
+    ``convention`` (pre-1970 timestamp convention, default per-file),
+    ``merge_schema`` (true: null-fill columns a file predates),
+    ``split_mb`` (target split size, default 64).
+
+    Write options: ``compression`` (zlib default | snappy | lz4 |
+    zstd | brotli | none), ``stripe_rows``, ``row_index_stride``,
+    ``bloom_columns`` (comma-separated), ``timestamp_convention``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "orcx"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("orcx requires a path: .load(path) / .save(path)")
+        return p
+
+    def schema(self):
+        from engine.orc_read import read_orc_tail
+        from jobs.orc_read import list_orc_files
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        arrow = read_orc_tail(list_orc_files(self._path())[0]).schema()
+        cols = self.options.get("columns")
+        if cols:
+            names = [c.strip() for c in cols.split(",") if c.strip()]
+            missing = [c for c in names if arrow.get_field_index(c) < 0]
+            if missing:
+                raise KeyError(f"columns not in ORC schema: {missing}")
+            import pyarrow as pa
+            arrow = pa.schema([arrow.field(c) for c in names])
+        # LTZ timestamps: match spark.read.orc on the same files
+        return from_arrow_schema(arrow, prefer_timestamp_ntz=False)
+
+    def reader(self, schema: StructType) -> "OrcEngineReader":
+        return OrcEngineReader(self._path(), schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return OrcEngineWriter(self._path(), self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return OrcEngineStreamWriter(self._path(), self.options)
+
+
+class OrcEngineReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType, options):
+        self._path = path
+        self._schema = schema
+        self._options = options
+        self._filters: list[tuple] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        self._filters = _to_engine_filters(filters)
+        # hand every filter back: the engine tiers prune (supersets),
+        # Spark's re-evaluation keeps the result exact
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from engine.orc_read import read_orc_tail, stripes_matching
+        from jobs.orc_read import list_orc_files
+
+        files = list_orc_files(self._path)
+        target = int(float(self._options.get("split_mb", "64")) * (1 << 20))
+
+        def plan(p: str) -> list[OrcInputPartition]:
+            info = read_orc_tail(p)
+            keep = stripes_matching(info, self._filters or None)
+            splits, run, sz = [], [], 0
+            for i in keep:
+                si = info.stripes[i]
+                run.append(i)
+                sz += si[2] + si[3] + si[4]  # index+data+footer bytes
+                if sz >= target:
+                    splits.append(OrcInputPartition(p, tuple(run)))
+                    run, sz = [], 0
+            if run:
+                splits.append(OrcInputPartition(p, tuple(run)))
+            return splits
+
+        # tail reads are ~KB I/O; thread them (planning, not decode)
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+            planned = list(ex.map(plan, files))
+        out = [s for per_file in planned for s in per_file]
+        # zero surviving stripes: one empty split keeps the scan valid
+        return out or [OrcInputPartition(files[0], ())]
+
+    def read(self, partition: OrcInputPartition) -> Iterator:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from engine.orc_read import read_orc_stripes, read_orc_tail
+
+        target = to_arrow_schema(self._schema)
+        if not partition.stripes:
+            yield from target.empty_table().to_batches()
+            return
+        merge = self._options.get("merge_schema", "false").lower() == "true"
+        info = read_orc_tail(partition.path)
+        names = list(target.names)
+        got = info.types[0].field_names
+        absent = [c for c in names if c not in got]
+        if absent and not merge:
+            raise ValueError(
+                f"{partition.path}: ORC schema {got} lacks projected "
+                f"{names}; set merge_schema=true to null-fill columns "
+                "this file predates")
+        tbl = read_orc_stripes(
+            partition.path, list(partition.stripes),
+            columns=[c for c in names if c not in absent],
+            convention=self._options.get("convention"),
+            info=info, filters=self._filters or None)
+        for c in absent:
+            tbl = tbl.append_column(
+                target.field(c), pa.nulls(len(tbl), target.field(c).type))
+        yield from tbl.select(names).cast(target).to_batches()
+
+
+def _write_part(batches: Iterator, out_dir: str, options,
+                name: str) -> Optional[OrcCommitMessage]:
+    """Task-side part-file emission shared by batch and stream
+    writers: buffer the task's batches (stripe-flush budget — see
+    jobs/orc_write.py), write tmp, rename (atomic publish)."""
+    import pyarrow as pa
+
+    from engine.orc_file import write_orc
+
+    parts = [b for b in batches if b.num_rows]
+    if not parts:
+        return None
+    tbl = pa.Table.from_batches(parts)
+    blooms = tuple(c.strip() for c in
+                   options.get("bloom_columns", "").split(",") if c.strip())
+    path = os.path.join(out_dir, name)
+    tmp = path + ".tmp"
+    write_orc(
+        tbl, tmp,
+        stripe_rows=int(options.get("stripe_rows", "1000000")),
+        timestamp_convention=options.get("timestamp_convention", "cpp"),
+        row_index_stride=int(options.get("row_index_stride", "10000")),
+        compression=options.get("compression", "zlib"),
+        bloom_columns=blooms)
+    os.replace(tmp, path)
+    return OrcCommitMessage(path=path, n_rows=tbl.num_rows,
+                            n_bytes=os.path.getsize(path))
+
+
+def _task_part_name(prefix: str = "part") -> str:
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else 0
+    # uuid: append-mode jobs and task retries must never collide
+    return f"{prefix}-{pid:05d}-{uuid.uuid4().hex[:12]}.orc"
+
+
+class OrcEngineWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, options, overwrite: bool):
+        self._dir = path
+        self._options = options
+        self._overwrite = overwrite
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator: Iterator) -> Optional[OrcCommitMessage]:
+        return _write_part(iterator, self._dir, self._options,
+                           _task_part_name())
+
+    def commit(self, messages: List[Optional[OrcCommitMessage]]) -> None:
+        done = [m for m in messages if m is not None]
+        kept = {m.path for m in done}
+        if self._overwrite:
+            # swap AFTER success: a crashed job leaves old data intact
+            for f in os.listdir(self._dir):
+                full = os.path.join(self._dir, f)
+                if f.endswith(".orc") and full not in kept:
+                    os.remove(full)
+        with open(os.path.join(self._dir, "_SUCCESS"), "w") as f:
+            for m in done:
+                f.write(json.dumps({"path": m.path, "n_rows": m.n_rows,
+                                    "n_bytes": m.n_bytes}) + "\n")
+
+    def abort(self, messages: List[Optional[OrcCommitMessage]]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class OrcEngineStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("orcx")``: one ORC part-file per task
+    per epoch, committed with a per-epoch manifest (the streaming twin
+    of the batch commit protocol; exactly-once per epoch via
+    tmp+rename and the manifest listing only committed files)."""
+
+    def __init__(self, path: str, options):
+        self._dir = path
+        self._options = options
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator: Iterator) -> Optional[OrcCommitMessage]:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        # stream writers receive Rows; regroup into Arrow before the
+        # engine writer (vectorized from here on)
+        rows = list(iterator)
+        if not rows:
+            return None
+        import pandas as pd
+        df = pd.DataFrame([r.asDict(recursive=True) for r in rows])
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        return _write_part(iter(tbl.to_batches()), self._dir,
+                           self._options, _task_part_name("stream"))
+
+    def commit(self, messages, batchId: int) -> None:
+        done = [m for m in messages if m is not None]
+        with open(os.path.join(self._dir,
+                               f"_manifest-{batchId:010d}.json"), "w") as f:
+            for m in done:
+                f.write(json.dumps({"path": m.path, "n_rows": m.n_rows,
+                                    "n_bytes": m.n_bytes}) + "\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
