@@ -77,6 +77,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     EqualTo,
     Filter,
@@ -193,6 +194,9 @@ class OrcEngineDataSource(DataSource):
     def streamWriter(self, schema: StructType, overwrite: bool):
         return OrcEngineStreamWriter(self._path(), self.options)
 
+    def streamReader(self, schema: StructType):
+        return OrcEngineStreamReader(self._path(), schema, self.options)
+
 
 class OrcEngineReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType, options):
@@ -239,34 +243,43 @@ class OrcEngineReader(DataSourceReader):
         return out or [OrcInputPartition(files[0], ())]
 
     def read(self, partition: OrcInputPartition) -> Iterator:
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
+        yield from _read_split(partition, self._schema, self._options,
+                               self._filters)
 
-        from engine.orc_read import read_orc_stripes, read_orc_tail
 
-        target = to_arrow_schema(self._schema)
-        if not partition.stripes:
-            yield from target.empty_table().to_batches()
-            return
-        merge = self._options.get("merge_schema", "false").lower() == "true"
-        info = read_orc_tail(partition.path)
-        names = list(target.names)
-        got = info.types[0].field_names
-        absent = [c for c in names if c not in got]
-        if absent and not merge:
-            raise ValueError(
-                f"{partition.path}: ORC schema {got} lacks projected "
-                f"{names}; set merge_schema=true to null-fill columns "
-                "this file predates")
-        tbl = read_orc_stripes(
-            partition.path, list(partition.stripes),
-            columns=[c for c in names if c not in absent],
-            convention=self._options.get("convention"),
-            info=info, filters=self._filters or None)
-        for c in absent:
-            tbl = tbl.append_column(
-                target.field(c), pa.nulls(len(tbl), target.field(c).type))
-        yield from tbl.select(names).cast(target).to_batches()
+def _read_split(partition: OrcInputPartition, schema: StructType,
+                options, filters: list[tuple]) -> Iterator:
+    """Task-side split decode shared by the batch and stream readers:
+    engine stripe-range read -> (optional) schema-evolution null-fill
+    -> cast to Spark's Arrow convention -> RecordBatches."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from engine.orc_read import read_orc_stripes, read_orc_tail
+
+    target = to_arrow_schema(schema)
+    if not partition.stripes:
+        yield from target.empty_table().to_batches()
+        return
+    merge = options.get("merge_schema", "false").lower() == "true"
+    info = read_orc_tail(partition.path)
+    names = list(target.names)
+    got = info.types[0].field_names
+    absent = [c for c in names if c not in got]
+    if absent and not merge:
+        raise ValueError(
+            f"{partition.path}: ORC schema {got} lacks projected "
+            f"{names}; set merge_schema=true to null-fill columns "
+            "this file predates")
+    tbl = read_orc_stripes(
+        partition.path, list(partition.stripes),
+        columns=[c for c in names if c not in absent],
+        convention=options.get("convention"),
+        info=info, filters=filters or None)
+    for c in absent:
+        tbl = tbl.append_column(
+            target.field(c), pa.nulls(len(tbl), target.field(c).type))
+    yield from tbl.select(names).cast(target).to_batches()
 
 
 def _write_part(batches: Iterator, out_dir: str, options,
@@ -294,6 +307,10 @@ def _write_part(batches: Iterator, out_dir: str, options,
         compression=options.get("compression", "zlib"),
         bloom_columns=blooms)
     os.replace(tmp, path)
+    # mtime AT publish (os.replace keeps the tmp file's write-time
+    # mtime): the stream reader's offset watermark depends on
+    # visibility time, not write time
+    os.utime(path)
     return OrcCommitMessage(path=path, n_rows=tbl.num_rows,
                             n_bytes=os.path.getsize(path))
 
@@ -335,6 +352,75 @@ class OrcEngineWriter(DataSourceArrowWriter):
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+
+
+class OrcEngineStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("orcx")``: tail a directory for newly
+    published ORC part files — the ingest shape of a landing zone that
+    batch/stream jobs keep appending to.
+
+    Offsets are an mtime watermark: ``{"t": <max st_mtime_ns
+    consumed>, "boundary": [names at exactly t]}`` — tiny and
+    checkpoint-friendly regardless of how many files ever existed
+    (Spark's own FileStreamSource instead persists a seen-files map).
+    A file is NEW iff its mtime is past the watermark (or equal and
+    not in the boundary set). The publish contract makes this sound
+    on one filesystem: this module's writers publish via tmp +
+    ``os.replace`` + ``os.utime`` (fresh mtime AT publish), so a
+    file's mtime is its visibility time and the watermark never runs
+    ahead of an in-flight publish. Files dropped in by other means
+    must carry a fresh mtime (``touch``) or they may land behind the
+    watermark and be skipped. Each micro-batch reads whole files
+    (stripe splits within a file still fan out), decoded by the same
+    engine path as the batch reader."""
+
+    def __init__(self, path: str, schema: StructType, options):
+        self._dir = path
+        self._schema = schema
+        self._options = options
+
+    def initialOffset(self) -> dict:
+        return {"t": 0, "boundary": []}
+
+    def _snapshot(self) -> list[tuple[int, str]]:
+        out = []
+        for f in os.listdir(self._dir):
+            if f.endswith(".orc"):
+                full = os.path.join(self._dir, f)
+                out.append((os.stat(full).st_mtime_ns, f))
+        return sorted(out)
+
+    def _new_since(self, off: dict) -> list[tuple[int, str]]:
+        t, boundary = off["t"], set(off["boundary"])
+        return [(m, f) for m, f in self._snapshot()
+                if m > t or (m == t and f not in boundary)]
+
+    def latestOffset(self) -> dict:
+        snap = self._snapshot()
+        if not snap:
+            return {"t": 0, "boundary": []}
+        t = snap[-1][0]
+        return {"t": t, "boundary": [f for m, f in snap if m == t]}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from engine.orc_read import read_orc_tail
+
+        end_t, end_b = end["t"], set(end["boundary"])
+        splits = []
+        for m, f in self._new_since(start):
+            if m > end_t or (m == end_t and f not in end_b):
+                continue  # published after this batch's end offset
+            p = os.path.join(self._dir, f)
+            info = read_orc_tail(p)
+            splits.append(OrcInputPartition(p, tuple(range(len(info.stripes)))))
+        # Spark requires >=1 partition per batch; an empty marker reads 0 rows
+        return splits or [OrcInputPartition("", ())]
+
+    def read(self, partition: OrcInputPartition) -> Iterator:
+        yield from _read_split(partition, self._schema, self._options, [])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: offsets are derived from the listing
 
 
 class OrcEngineStreamWriter(DataSourceStreamWriter):

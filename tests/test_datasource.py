@@ -193,6 +193,58 @@ def test_stream_writer_epoch_manifest(spark_ds, orc_dir, tmp_path):
     assert spark_ds.read.orc(out).count() == 50
 
 
+def test_stream_reader_incremental_pickup(spark_ds, tmp_path):
+    """readStream.format("orcx") tails a directory: each availableNow
+    run consumes exactly the files published since the checkpoint's
+    offset watermark — no reprocessing, no misses."""
+    d = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    os.makedirs(d)
+
+    def emit(fi, n=60):
+        tbl = pa.table({
+            "doc_id": pa.array([f"d{fi}-{i}" for i in range(n)]),
+            "n_tok": pa.array(np.arange(n, dtype=np.int32))})
+        p = os.path.join(d, f"part-{fi}.orc")
+        write_orc(tbl, p + ".tmp", stripe_rows=25)
+        os.replace(p + ".tmp", p)
+        os.utime(p)  # publish contract: mtime = visibility time
+
+    def run_batch():
+        q = (spark_ds.readStream.format("orcx").load(d)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark_ds.read.parquet(out)
+
+    emit(0), emit(1)
+    assert run_batch().count() == 120
+    emit(2)
+    got = run_batch()
+    assert got.count() == 180  # only part-2 was read this run
+    prefixes = sorted({r.doc_id.split("-")[0] for r in got.collect()})
+    assert prefixes == ["d0", "d1", "d2"]
+    assert run_batch().count() == 180  # no new files -> no new rows
+
+
+def test_stream_reader_offsets_unit(spark_ds, tmp_path):
+    from jobs.datasource import OrcEngineStreamReader
+    d = str(tmp_path / "offs")
+    os.makedirs(d)
+    tbl = pa.table({"a": pa.array([1, 2], type=pa.int64())})
+    write_orc(tbl, os.path.join(d, "f1.orc"))
+    rd = OrcEngineStreamReader(d, None, {})
+    o0 = rd.initialOffset()
+    o1 = rd.latestOffset()
+    assert o1["t"] > 0 and o1["boundary"] == ["f1.orc"]
+    parts = [p for p in rd.partitions(o0, o1) if p.stripes]
+    assert len(parts) == 1 and parts[0].path.endswith("f1.orc")
+    # nothing new between o1 and o1
+    assert [p for p in rd.partitions(o1, o1) if p.stripes] == []
+
+
 def test_spark_plan_reuse_hazard_pinned(spark_ds, orc_dir):
     """Documents (does not endorse) Spark 4.1's cached-read reuse:
     with the pushdown conf on, an unfiltered query on the SAME load()
