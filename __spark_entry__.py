@@ -742,6 +742,40 @@ def _q_orcx_scan(spark, sf_dir):
     return df.where(F.col("n_tok") >= 90).select("doc_id", "n_tok")
 
 
+def _q_orc_compact_scan(spark, sf_dir):
+    """Zero-decode compaction end-to-end: 8 small range-sorted
+    part-files are merged into fewer ~target-size files by RAW STRIPE
+    COPY (engine/orc_concat.py — bytes copied once, tails rewritten,
+    per-stripe statistics carried over raw, file statistics
+    recombined), then the engine's distributed reader scans the
+    compacted directory WITH a pushed-down filter — proving the
+    pruning surfaces survived the merge. One task per output file
+    (jobs/orc_compact.py), no row ever decoded or shuffled."""
+    import tempfile
+
+    from jobs.orc_compact import compact_orc_dir
+    from jobs.orc_read import read_orc_dir
+    from jobs.orc_write import write_orc_dir
+
+    tok = (_token_df(spark, sf_dir).select("doc_id", "n_tok", "source")
+           .repartitionByRange(8, "n_tok")
+           .sortWithinPartitions("n_tok"))
+    small = tempfile.mkdtemp(prefix="orc_small_")
+    write_orc_dir(tok, small, stripe_rows=64).collect()
+    big = tempfile.mkdtemp(prefix="orc_compact_")
+    # target ~= a third of the input bytes -> ~3 outputs at ANY scale
+    import glob
+    import os
+    total = sum(os.path.getsize(f)
+                for f in glob.glob(os.path.join(small, "*.orc")))
+    manifest = compact_orc_dir(spark, small, big,
+                               target_mb=total / 3 / (1 << 20)).collect()
+    assert 1 < len(manifest) < 8, [m.path for m in manifest]
+    dec = read_orc_dir(spark, big, columns=["doc_id", "n_tok"],
+                       filters=[("n_tok", ">=", 90)])
+    return dec.select("doc_id", "n_tok")
+
+
 def _q_orc_meta_agg(spark, sf_dir):
     """Metadata-only aggregates: COUNT/MIN/MAX over a whole ORC
     directory computed from the ~KB file TAILS alone — the engine
@@ -1094,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_in_scan": _q_orc_in_scan,                    # M1-M3 'in'
         # Python Data Source binding: format("orcx") with pushFilters
         "orcx_scan": _q_orcx_scan,                        # M4-M6 (DSv2)
+        # zero-decode small-file compaction (raw stripe copy)
+        "orc_compact_scan": _q_orc_compact_scan,          # M4+M1 files
         "orc_meta_agg": _q_orc_meta_agg,                  # M1 tails-only
         "orc_rowgroup_seek": _q_orc_rowgroup_seek,        # M2 (files)
         # LZ4 chunk codec both directions (engine write -> orc-core
@@ -1246,6 +1282,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(doc_id AS VARCHAR) IN
                   ('7', '63', '88', '99', 'absent')""",
         "orcx_scan": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {_SQL_NTOK} AS n_tok
+            FROM documents WHERE {_SQL_NTOK} >= 90""",
+        "orc_compact_scan": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    {_SQL_NTOK} AS n_tok
             FROM documents WHERE {_SQL_NTOK} >= 90""",
