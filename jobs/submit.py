@@ -169,6 +169,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="null-fill projected columns absent from older "
                          "files (schema-evolved directories)")
 
+    sc = sub.add_parser("compact-orc")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--output", required=True)
+    sc.add_argument("--target-mb", type=float, default=256.0,
+                    help="approximate output file size; inputs are "
+                         "first-fit binned in name order")
+    sc.add_argument("--parallelism", type=int, default=None)
+
     ss = sub.add_parser("synth")
     ss.add_argument("--output", required=True)
     ss.add_argument("--rows", type=int, default=100_000)
@@ -225,6 +233,20 @@ def main(argv: list[str] | None = None) -> int:
             bloom_columns=tuple(a.bloom_columns.split(","))
             if a.bloom_columns else ()).collect()
         print(json.dumps({"files": len(manifest),
+                          "rows": sum(m["n_rows"] for m in manifest),
+                          "bytes": sum(m["n_bytes"] for m in manifest)}))
+        return 0
+
+    if a.cmd == "compact-orc":
+        # zero-decode small-file compaction: raw stripe copy + tail
+        # rewrite, one merge task per output (jobs/orc_compact.py)
+        spark = _spark("orc-format-spark-compact-orc")
+        from jobs.orc_compact import compact_orc_dir
+        manifest = compact_orc_dir(spark, a.input, a.output,
+                                   target_mb=a.target_mb,
+                                   parallelism=a.parallelism).collect()
+        print(json.dumps({"files_out": len(manifest),
+                          "files_in": sum(m["n_files"] for m in manifest),
                           "rows": sum(m["n_rows"] for m in manifest),
                           "bytes": sum(m["n_bytes"] for m in manifest)}))
         return 0

@@ -236,6 +236,27 @@ def test_submit_export_orc(spark, token_parquet, tmp_path):
     assert spark.read.orc(out).count() == 4000
 
 
+def test_submit_compact_orc(spark, token_parquet, tmp_path):
+    # compact-orc CLI: many small part-files -> fewer, zero-decode
+    import glob
+
+    from jobs.submit import main as submit_main
+    small = str(tmp_path / "small")
+    rc = submit_main(["export-orc", "--input", token_parquet,
+                      "--output", small, "--partitions", "6",
+                      "--stripe-rows", "300"])
+    assert rc == 0
+    big = str(tmp_path / "big")
+    total_mb = sum(os.path.getsize(f)
+                   for f in glob.glob(small + "/*.orc")) / (1 << 20)
+    rc = submit_main(["compact-orc", "--input", small, "--output", big,
+                      "--target-mb", str(total_mb / 2)])
+    assert rc == 0
+    files = glob.glob(big + "/part-*.orc")
+    assert 1 <= len(files) < 6
+    assert spark.read.orc(big).count() == 4000
+
+
 def test_submit_decode_selective(spark, token_parquet, tmp_path):
     # decode CLI with projection + stride predicates
     from jobs.submit import main as submit_main
