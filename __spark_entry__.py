@@ -802,6 +802,29 @@ def _q_orc_meta_agg(spark, sf_dir):
         F.max("max_doc_id").alias("max_docid"))
 
 
+def _q_orc_meta_sum(spark, sf_dir):
+    """SUM from file tails alone: the engine writer emits the ORC
+    IntegerStatistics sum (field 3, sint64, omitted on overflow — the
+    spec convention) per row group, stripe, and file; the tail reader
+    parses it back (cross-impl pinned against ORC C++-written sums in
+    tests) and read_orc_dir_stats(sums=...) surfaces it per file. A
+    whole-table SUM over a million files costs a million ~KB tail
+    reads and zero stripe bytes."""
+    import tempfile
+
+    from jobs.orc_read import read_orc_dir_stats
+    from jobs.orc_write import write_orc_dir
+
+    tok = _token_df(spark, sf_dir).select("doc_id", "n_tok") \
+        .repartition(4)
+    out = tempfile.mkdtemp(prefix="orc_meta_sum_")
+    write_orc_dir(tok, out).collect()
+    st = read_orc_dir_stats(spark, out, [], sums=["n_tok"])
+    return st.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("sum_n_tok").cast("long").alias("tok_total"))
+
+
 def _q_orc_rowgroup_seek(spark, sf_dir):
     """ROW-GROUP-level predicate pushdown inside stripes (M2 as a
     *file* surface): the engine writer emits per-column ROW_INDEX
@@ -1131,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zero-decode small-file compaction (raw stripe copy)
         "orc_compact_scan": _q_orc_compact_scan,          # M4+M1 files
         "orc_meta_agg": _q_orc_meta_agg,                  # M1 tails-only
+        "orc_meta_sum": _q_orc_meta_sum,                  # M1 sum stats
         "orc_rowgroup_seek": _q_orc_rowgroup_seek,        # M2 (files)
         # LZ4 chunk codec both directions (engine write -> orc-core
         # read; orc-core write -> engine read)
@@ -1295,6 +1319,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX({_SQL_NTOK}) AS INTEGER) AS max_ntok,
                    MIN(CAST(doc_id AS VARCHAR)) AS min_docid,
                    MAX(CAST(doc_id AS VARCHAR)) AS max_docid
+            FROM documents""",
+        "orc_meta_sum": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM({_SQL_NTOK}) AS BIGINT) AS tok_total
             FROM documents""",
         "orc_rowgroup_seek": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -103,6 +103,8 @@ def _merge_file_stats(infos: list[OrcFileInfo]) -> list[bytes]:
         has_null = False
         poisoned = False
         mn = mx = None
+        total = 0
+        have_sum = True  # int sums add only if EVERY input carried one
         for info in infos:
             if ci >= len(info._file_stats_raw):
                 poisoned = True  # an input without footer stats
@@ -110,6 +112,10 @@ def _merge_file_stats(infos: list[OrcFileInfo]) -> list[bytes]:
             d = _parse_col_stats(info._file_stats_raw[ci])
             n += d["n"]
             has_null = has_null or d["has_null"]
+            if "sum" in d:
+                total += d["sum"]
+            elif d["n"] > 0:
+                have_sum = False
             if "min" not in d or "max" not in d:
                 if d["n"] > 0:
                     poisoned = True  # values but no bounds (e.g. NaN)
@@ -121,6 +127,8 @@ def _merge_file_stats(infos: list[OrcFileInfo]) -> list[bytes]:
         if fno is not None and not poisoned and mn is not None:
             if fno == STAT_DEC and not isinstance(mn, decimal.Decimal):
                 stat = None  # mismatched parse: stay conservative
+            elif fno == STAT_INT and have_sum and abs(total) < 2 ** 63:
+                stat = (fno, mn, mx, total)
             else:
                 stat = (fno, mn, mx)
         out.append(_col_stats_pb(n, has_null, stat))

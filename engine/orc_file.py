@@ -96,10 +96,15 @@ STAT_DEC = 6  # DecimalStatistics: min/max as decimal strings
 
 
 def _stat_sub(stat) -> bytes:
-    """(field_no, min, max) -> typed min/max sub-message bytes."""
-    fno, mn, mx = stat
+    """(field_no, min, max[, sum]) -> typed min/max sub-message
+    bytes. The optional 4th slot is the IntegerStatistics sum
+    (field 3); None there means a writer-side overflow guard omitted
+    it."""
+    fno, mn, mx = stat[0], stat[1], stat[2]
     if fno == STAT_INT or fno == STAT_DATE:
         body = pb_svarint(1, mn) + pb_svarint(2, mx)
+        if fno == STAT_INT and len(stat) > 3 and stat[3] is not None:
+            body += pb_svarint(3, stat[3])
     elif fno == STAT_DOUBLE:
         body = pb_double(1, mn) + pb_double(2, mx)
     elif fno == STAT_TS:
@@ -213,9 +218,35 @@ def _concat(bufs: list[bytes]) -> tuple[bytes, list[int]]:
     return b"".join(bufs), offs
 
 
+def _int_stat(v: np.ndarray) -> tuple:
+    """Whole-array (STAT_INT, min, max, sum|None) — sum omitted when
+    an int64 accumulation could overflow (float64 magnitude guard)."""
+    mn, mx = int(v.min()), int(v.max())
+    est = abs(float(np.sum(v, dtype=np.float64)))
+    sm = int(np.sum(v, dtype=np.int64)) if est < 2.0 ** 62 else None
+    return (STAT_INT, mn, mx, sm)
+
+
 def _int_stats(v: np.ndarray, vgb: np.ndarray, fno: int) -> list:
-    return [(fno, int(v[s:e].min()), int(v[s:e].max())) if e > s else None
-            for s, e in zip(vgb[:-1], vgb[1:])]
+    """Per-group (fno, min, max[, sum]) stats. The sum slot (emitted
+    for IntegerStatistics only — Date/Timestamp stats have no sum
+    field) is omitted when a float64 magnitude estimate says an int64
+    accumulation could overflow, matching ORC writers' omit-on-
+    overflow convention."""
+    out = []
+    for s, e in zip(vgb[:-1], vgb[1:]):
+        if e <= s:
+            out.append(None)
+            continue
+        seg = v[s:e]
+        mn, mx = int(seg.min()), int(seg.max())
+        if fno != STAT_INT:
+            out.append((fno, mn, mx))
+            continue
+        est = abs(float(np.sum(seg, dtype=np.float64)))
+        sm = int(np.sum(seg, dtype=np.int64)) if est < 2.0 ** 62 else None
+        out.append((fno, mn, mx, sm))
+    return out
 
 
 def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
@@ -405,7 +436,7 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
             pos = [[int(roffs[k]), int(vgb[i] - rstarts[k])]
                    for i, k in enumerate(j)]
         v = np.asarray(vals, dtype=np.int64)
-        stat = (STAT_INT, int(v.min()), int(v.max())) if nv else None
+        stat = _int_stat(v) if nv else None
         return done(K_BYTE, ENC_DIRECT, pos=pos, stat=stat,
                     stat_g=_int_stats(v, vgb, STAT_INT) if index else None)
     if t in _INT_KINDS:
@@ -413,7 +444,7 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
         pos, data = groups(lambda s, e: rle2.encode_rlev2(
             v[s:e], signed=True).tobytes(), 2)
         streams.append((DATA, data))
-        stat = (STAT_INT, int(v.min()), int(v.max())) if nv else None
+        stat = _int_stat(v) if nv else None
         return done(_INT_KINDS[t], pos=pos, stat=stat,
                     stat_g=_int_stats(v, vgb, STAT_INT) if index else None)
     if pa.types.is_floating(t):
@@ -540,12 +571,20 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
 
 
 def _agg_stats(stat_g: list) -> tuple | None:
-    """Aggregate per-group stats to a stripe stat (min of mins, ...)."""
+    """Aggregate per-group stats to a stripe stat (min of mins, ...);
+    sums add only when EVERY group carried one (an omitted group sum
+    means overflow — the aggregate would be wrong, so it is omitted)."""
     present = [s for s in stat_g if s is not None]
     if not present:
         return None
     fno = present[0][0]
-    return (fno, min(s[1] for s in present), max(s[2] for s in present))
+    mn = min(s[1] for s in present)
+    mx = max(s[2] for s in present)
+    if all(len(s) > 3 and s[3] is not None for s in present):
+        total = sum(s[3] for s in present)
+        if abs(total) < 2 ** 63:
+            return (fno, mn, mx, total)
+    return (fno, mn, mx)
 
 
 def _flatten(col: _Col, out: list[_Col]) -> None:
@@ -878,9 +917,15 @@ def write_orc(table: pa.Table, path: str,
                 if agg_stat[i] is None:
                     agg_stat[i] = c.stat
                 else:
-                    fno, mn, mx = agg_stat[i]
-                    agg_stat[i] = (fno, min(mn, c.stat[1]),
-                                   max(mx, c.stat[2]))
+                    prev = agg_stat[i]
+                    merged = (prev[0], min(prev[1], c.stat[1]),
+                              max(prev[2], c.stat[2]))
+                    # file sum only if every stripe carried one
+                    if len(prev) > 3 and prev[3] is not None \
+                            and len(c.stat) > 3 and c.stat[3] is not None \
+                            and abs(prev[3] + c.stat[3]) < 2 ** 63:
+                        merged += (prev[3] + c.stat[3],)
+                    agg_stat[i] = merged
         metadata += pb_bytes(1, b"".join(
             pb_bytes(1, _col_stats_pb(c.n_values, c.has_null, c.stat))
             for c in cols))

@@ -350,6 +350,8 @@ def _parse_col_stats(v) -> dict:
                     d["min"] = _zz(v3)
                 elif f3 == 2:
                     d["max"] = _zz(v3)
+                elif f3 == 3:   # sum (writers omit it on overflow)
+                    d["sum"] = _zz(v3)
         elif f2 == 3:       # DoubleStatistics (fixed64 double)
             for f3, w3, v3 in _fields(v2):
                 if f3 in (1, 2) and w3 == 1:

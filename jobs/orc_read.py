@@ -85,7 +85,8 @@ def plan_orc_splits(spark: SparkSession, files: list[str],
 
 
 def read_orc_dir_stats(spark: SparkSession, path: str,
-                       columns: list[str]) -> DataFrame:
+                       columns: list[str],
+                       sums: list[str] | tuple = ()) -> DataFrame:
     """Metadata-only table statistics: one row per file with its row
     count and each requested column's file-level min/max, read from
     the ~KB file tails ALONE (engine.orc_read.OrcFileInfo.file_stats —
@@ -93,7 +94,12 @@ def read_orc_dir_stats(spark: SparkSession, path: str,
     over a million-file table costs one tail read per file. Columns
     must be int/float/string/decimal/date top-level fields; a file
     without footer statistics yields typed nulls for min/max (its
-    n_rows still counts)."""
+    n_rows still counts).
+
+    ``sums``: integer columns to additionally surface the footer
+    IntegerStatistics sum for (``sum_<col>`` int64) — SUM over a
+    whole table from file tails alone. Null when a file's writer
+    omitted the sum (overflow convention, pre-sum writer)."""
     files = list_orc_files(path)
     from engine.orc_read import read_orc_tail
     schema = read_orc_tail(files[0]).schema()
@@ -115,6 +121,16 @@ def read_orc_dir_stats(spark: SparkSession, path: str,
                 "int/float/string/decimal/date)")
         fields.append(pa.field(f"min_{c}", t))
         fields.append(pa.field(f"max_{c}", t))
+    for c in sums:
+        i = schema.get_field_index(c)
+        if i < 0:
+            raise KeyError(f"column {c!r} not in ORC schema "
+                           f"{schema.names}")
+        if not pa.types.is_integer(schema.field(i).type):
+            raise NotImplementedError(
+                f"tail-sum on column {c!r}: only integer columns "
+                "carry an IntegerStatistics sum")
+        fields.append(pa.field(f"sum_{c}", pa.int64()))
     out_schema = pa.schema(fields)
     ddl = ", ".join(
         f"{f.name} {from_arrow_schema(pa.schema([f]))[0].dataType.simpleString()}"
@@ -156,6 +172,15 @@ def read_orc_dir_stats(spark: SparkSession, path: str,
                         else:
                             arr = pa.array([v], type=typ)
                         arrs.append(arr)
+                for c in sums:
+                    j = sch.get_field_index(c)
+                    st = {}
+                    if j >= 0:
+                        fid = info.types[0].subtypes[j]
+                        st = (fs[fid] if fs and fid < len(fs)
+                              else {}) or {}
+                    arrs.append(pa.array([st.get("sum")],
+                                         type=pa.int64()))
                 yield pa.RecordBatch.from_arrays(
                     arrs, schema=out_schema)
 

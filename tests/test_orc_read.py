@@ -1327,6 +1327,72 @@ def test_tail_only_dir_stats_both_writers(spark):
         read_orc_dir_stats(spark, out, ["nope"])
 
 
+def test_sum_statistics_end_to_end(spark):
+    """IntegerStatistics sums: (1) the engine writer emits the sum
+    field (3, sint64) per row group / stripe / file; (2) the parser
+    reads it from ORC C++-written files identically (cross-impl field
+    layout proof); (3) read_orc_dir_stats(sums=...) computes a whole-
+    table SUM from file tails alone; (4) concat_orc adds input sums;
+    (5) the overflow convention omits the sum rather than wrapping."""
+    from pyspark.sql import functions as F
+
+    from engine.orc_concat import concat_orc
+    from engine.orc_file import write_orc
+    from engine.orc_read import read_orc_tail
+    from jobs.orc_read import read_orc_dir_stats
+    from jobs.orc_write import write_orc_dir
+
+    n = 20_000
+    df = spark.range(n).withColumn("w", F.col("id") * 3 - 1000)
+    out = tempfile.mkdtemp(prefix="tsums_")
+    write_orc_dir(df.repartition(3), out, stripe_rows=4096).collect()
+    st = read_orc_dir_stats(spark, out, ["id"], sums=["id", "w"])
+    agg = st.agg(F.sum("n_rows").alias("n"),
+                 F.sum("sum_id").alias("si"),
+                 F.sum("sum_w").alias("sw")).collect()[0]
+    want_id = n * (n - 1) // 2
+    assert (agg.n, agg.si, agg.sw) == (n, want_id,
+                                       3 * want_id - 1000 * n)
+
+    # cross-impl: ORC C++'s sum parses with the same field/zigzag
+    v = np.arange(-500, 2500, dtype=np.int64)
+    f_cpp = tempfile.mktemp(suffix=".orc")
+    orc.write_table(pa.table({"x": v}), f_cpp,
+                    compression="uncompressed")
+    assert read_orc_tail(f_cpp).file_stats()[1]["sum"] == int(v.sum())
+
+    # concat adds sums across inputs
+    files = sorted(os.path.join(out, f) for f in os.listdir(out)
+                   if f.endswith(".orc"))
+    merged = tempfile.mktemp(suffix=".orc")
+    concat_orc(files, merged)
+    ms = read_orc_tail(merged).file_stats()
+    names = read_orc_tail(merged).types[0].field_names
+    assert dict(zip(names, ms[1:]))["id"]["sum"] == want_id
+
+    # overflow: sum omitted, min/max intact
+    fo = tempfile.mktemp(suffix=".orc")
+    write_orc(pa.table({"b": np.full(100, 2 ** 62, dtype=np.int64)}),
+              fo, stripe_rows=50, row_index_stride=25)
+    so = read_orc_tail(fo).file_stats()[1]
+    assert "sum" not in so and so["max"] == 2 ** 62
+    # a sum-less input poisons the concatenated sum but not min/max
+    f_ok = tempfile.mktemp(suffix=".orc")
+    write_orc(pa.table({"b": np.arange(100, dtype=np.int64)}),
+              f_ok, stripe_rows=50, row_index_stride=25)
+    m2 = tempfile.mktemp(suffix=".orc")
+    concat_orc([fo, f_ok], m2)
+    s2 = read_orc_tail(m2).file_stats()[1]
+    assert "sum" not in s2 and s2["max"] == 2 ** 62 and s2["min"] == 0
+    with pytest.raises(KeyError):
+        read_orc_dir_stats(spark, out, ["id"], sums=["nope"])
+    d_str = tempfile.mkdtemp(prefix="tsums_str_")
+    write_orc(pa.table({"s": pa.array(["a", "b"])}),
+              os.path.join(d_str, "part-0.orc"))
+    with pytest.raises(NotImplementedError):
+        read_orc_dir_stats(spark, d_str, ["s"], sums=["s"])
+
+
 def test_review_fixes_decimal_precision_zero_bloom_stats_domain(spark):
     """Regression pins for the r4 review findings: (1) decimal(38)
     stats are exact beyond the default 28-digit context (no rounding
