@@ -192,7 +192,7 @@ class OrcEngineDataSource(DataSource):
         return OrcEngineWriter(self._path(), self.options, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
-        return OrcEngineStreamWriter(self._path(), self.options)
+        return OrcEngineStreamWriter(self._path(), self.options, schema)
 
     def streamReader(self, schema: StructType):
         return OrcEngineStreamReader(self._path(), schema, self.options)
@@ -429,23 +429,25 @@ class OrcEngineStreamWriter(DataSourceStreamWriter):
     of the batch commit protocol; exactly-once per epoch via
     tmp+rename and the manifest listing only committed files)."""
 
-    def __init__(self, path: str, options):
+    def __init__(self, path: str, options, schema: StructType):
         self._dir = path
         self._options = options
+        self._schema = schema
         os.makedirs(path, exist_ok=True)
 
     def write(self, iterator: Iterator) -> Optional[OrcCommitMessage]:
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        # stream writers receive Rows; regroup into Arrow before the
-        # engine writer (vectorized from here on)
+        # stream writers receive Rows; regroup into Arrow AT THE
+        # DECLARED SCHEMA (from_pandas inference would drift types —
+        # array<int32> becomes list<int64>) before the engine writer
         rows = list(iterator)
         if not rows:
             return None
-        import pandas as pd
-        df = pd.DataFrame([r.asDict(recursive=True) for r in rows])
-        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        target = to_arrow_schema(self._schema)
+        tbl = pa.Table.from_pylist(
+            [r.asDict(recursive=True) for r in rows], schema=target)
         return _write_part(iter(tbl.to_batches()), self._dir,
                            self._options, _task_part_name("stream"))
 

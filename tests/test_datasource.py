@@ -175,7 +175,9 @@ def test_stream_writer_epoch_manifest(spark_ds, orc_dir, tmp_path):
     src = str(tmp_path / "stream_src")
     out = str(tmp_path / "stream_out")
     ckpt = str(tmp_path / "ckpt")
-    base = spark_ds.read.format("orcx").load(orc_dir).limit(50)
+    base = (spark_ds.read.format("orcx").load(orc_dir).limit(50)
+            .selectExpr("doc_id", "n_tok",
+                        "array(n_tok, 1) AS arr"))  # array<int32>
     base.write.parquet(src)
     q = (spark_ds.readStream.schema(base.schema).parquet(src)
          .writeStream.format("orcx")
@@ -190,7 +192,10 @@ def test_stream_writer_epoch_manifest(spark_ds, orc_dir, tmp_path):
     listed = [json.loads(l) for m in manifests
               for l in open(os.path.join(out, m))]
     assert sum(e["n_rows"] for e in listed) == 50
-    assert spark_ds.read.orc(out).count() == 50
+    back = spark_ds.read.orc(out)
+    assert back.count() == 50
+    # declared-schema conversion: array<int> stays int, not int64
+    assert dict(back.dtypes)["arr"] == "array<int>"
 
 
 def test_stream_reader_incremental_pickup(spark_ds, tmp_path):
