@@ -310,26 +310,46 @@ def main():
     thr, pair_eff, legs_out = run_pairs()
     scaling_first_pass_s = time.time() - t_scaling0
 
-    def flagged(pe):
+    def big_sys_ratio(legs):
+        # whole-host sys/user CPU over the BIG legs. A healthy window
+        # runs the 4-core legs at sys/user ~0.2-0.3; a window where
+        # this box's machine-wide SERIALIZED fault path is saturated
+        # runs them at ~0.8-1.3 — the added cores queue on the kernel,
+        # not on the codec. Measured A/B on identical code this round:
+        # efficiency 0.943 with big-leg ratios 0.22/0.26 vs efficiency
+        # 0.52 with ratios 0.85/1.29, both with tight pair spreads —
+        # so spread alone cannot catch a window where BOTH pairs
+        # degrade together.
+        rs = [l["cpu_sys_s"] / max(l["cpu_user_s"], 1e-9)
+              for l in legs if l["cores"] == big]
+        return statistics.median(rs) if rs else 0.0
+
+    def flagged(pe, legs):
         # median > 1 is physically impossible for true scaling; a
         # max/min pair spread > 1.5 means the host window moved more
         # between legs than the parallelism did (r3 shipped 0.535 with
-        # spread 0.496-0.946 unflagged — that was noise as signal)
+        # spread 0.496-0.946 unflagged — that was noise as signal);
+        # a sys-dominated big leg means the serialized host fault
+        # path, not the plan, bounded the measured speedup
         return (statistics.median(pe) > 1.0
-                or max(pe) / min(pe) > 1.5)
+                or max(pe) / min(pe) > 1.5
+                or big_sys_ratio(legs) > 0.6)
+
+    def badness(pe, legs):
+        return max(pe) / min(pe) + (2.0 if big_sys_ratio(legs) > 0.6
+                                    else 0.0)
 
     reran = False
-    if flagged(pair_eff) and scaling_first_pass_s < 600:
-        # one re-run when flagged: keep whichever set is self-
-        # consistent (smaller spread); if both are noisy, ship the
-        # honest flag rather than a meaningless headline. Skipped when
-        # the first pass already burned >10 min (a degraded window —
-        # doubling it risks the driver's bench budget; the honest
-        # noise flag ships instead).
+    if flagged(pair_eff, legs_out) and scaling_first_pass_s < 600:
+        # one re-run when flagged: keep whichever set is healthier
+        # (no sys-domination, then smaller spread); if both are noisy,
+        # ship the honest flag rather than a meaningless headline.
+        # Skipped when the first pass already burned >10 min (a
+        # degraded window — doubling it risks the driver's bench
+        # budget; the honest noise flag ships instead).
         reran = True
         thr2, pair_eff2, legs_out2 = run_pairs()
-        if (max(pair_eff2) / min(pair_eff2)
-                < max(pair_eff) / min(pair_eff)):
+        if badness(pair_eff2, legs_out2) < badness(pair_eff, legs_out):
             thr, pair_eff, legs_out = thr2, pair_eff2, legs_out2
     eff_median = statistics.median(pair_eff)
     result["scaling"] = {
@@ -343,7 +363,8 @@ def main():
             "max": round(max(pair_eff), 3),
             "n": len(pair_eff),
         },
-        "noise_dominated": flagged(pair_eff),
+        "noise_dominated": flagged(pair_eff, legs_out),
+        "host_degraded_sys_ratio": round(big_sys_ratio(legs_out), 3),
         "reran_on_noise": reran,
         "legs": legs_out,
         "protocol": "same job, same input, live-measured this run; "
@@ -351,10 +372,12 @@ def main():
                     "with spread; each leg = min over "
                     f"{leg_rounds} in-session rounds (round 2+ runs "
                     "in the warm JVM, bounding first-touch-fault "
-                    "noise); median>1 OR pair spread>1.5 flags "
-                    "noise and triggers ONE re-run (smaller-spread "
-                    "set kept); per-leg host cpu/fault deltas "
-                    "attribute degraded windows",
+                    "noise); median>1 OR pair spread>1.5 OR big-leg "
+                    "sys/user>0.6 (serialized host fault path "
+                    "saturated — both pairs degrade together, spread "
+                    "can't see it) flags noise and triggers ONE "
+                    "re-run (healthier set kept); per-leg host "
+                    "cpu/fault deltas attribute degraded windows",
     }
 
     # kernel-probe curve: the encode kernel alone under fork-based
