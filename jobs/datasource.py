@@ -151,7 +151,10 @@ class OrcEngineDataSource(DataSource):
     (comma-separated projection; or pass ``.schema(...)``),
     ``convention`` (pre-1970 timestamp convention, default per-file),
     ``merge_schema`` (true: null-fill columns a file predates),
-    ``split_mb`` (target split size, default 64).
+    ``split_mb`` (target split size, default 64), ``use_manifest``
+    (true: read exactly the ``_SUCCESS``-committed snapshot instead
+    of the directory listing — stragglers and in-progress jobs in the
+    same directory are invisible).
 
     Write options: ``compression`` (zlib default | snappy | lz4 |
     zstd | brotli | none), ``stripe_rows``, ``row_index_stride``,
@@ -173,7 +176,9 @@ class OrcEngineDataSource(DataSource):
         from jobs.orc_read import list_orc_files
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        arrow = read_orc_tail(list_orc_files(self._path())[0]).schema()
+        use_m = self.options.get("use_manifest", "false").lower() == "true"
+        arrow = read_orc_tail(
+            list_orc_files(self._path(), use_manifest=use_m)[0]).schema()
         cols = self.options.get("columns")
         if cols:
             names = [c.strip() for c in cols.split(",") if c.strip()]
@@ -217,7 +222,9 @@ class OrcEngineReader(DataSourceReader):
         from engine.orc_read import read_orc_tail, stripes_matching
         from jobs.orc_read import list_orc_files
 
-        files = list_orc_files(self._path)
+        use_m = self._options.get("use_manifest",
+                                  "false").lower() == "true"
+        files = list_orc_files(self._path, use_manifest=use_m)
         target = int(float(self._options.get("split_mb", "64")) * (1 << 20))
 
         def plan(p: str) -> list[OrcInputPartition]:

@@ -40,9 +40,34 @@ from jobs.table_io import _require_local
 SPLIT_DDL = "path string, stripe bigint, n_rows bigint"
 
 
-def list_orc_files(path: str) -> list[str]:
-    """Deterministic file list for a directory, a glob, or one file."""
+def list_orc_files(path: str, use_manifest: bool = False) -> list[str]:
+    """Deterministic file list for a directory, a glob, or one file.
+
+    ``use_manifest``: read the committed SNAPSHOT instead of the
+    listing — the ``_SUCCESS`` manifest the orcx batch writer commits
+    (jobs/datasource.py) names exactly the files its job published,
+    so a reader sees an atomic job result even while stragglers,
+    retries of a newer job, or an in-progress compaction are adding
+    files to the same directory. Fail-loud when the manifest names a
+    file that no longer exists (the snapshot was broken by a delete,
+    not by concurrent adds) or when no manifest exists."""
     path = _require_local(path)
+    if use_manifest:
+        import json as _json
+        m = os.path.join(path, "_SUCCESS")
+        if not os.path.isfile(m):
+            raise FileNotFoundError(
+                f"{path!r} has no _SUCCESS manifest; written by a "
+                "non-committing writer? (use_manifest=False lists "
+                "the directory instead)")
+        with open(m) as f:
+            files = sorted(_json.loads(line)["path"]
+                           for line in f if line.strip())
+        missing = [p for p in files if not os.path.isfile(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"manifest {m} names deleted files: {missing[:3]}")
+        return files
     if os.path.isdir(path):
         return sorted(glob.glob(os.path.join(path, "*.orc")))
     found = sorted(glob.glob(path))
@@ -192,7 +217,8 @@ def read_orc_dir(spark: SparkSession, path: str,
                  convention: str | None = None,
                  parallelism: int | None = None,
                  filters: list[tuple] | None = None,
-                 allow_missing_columns: bool = False) -> DataFrame:
+                 allow_missing_columns: bool = False,
+                 use_manifest: bool = False) -> DataFrame:
     """Read a directory of ORC files as a DataFrame with this
     engine's decoders. ``convention`` pins the pre-1970 timestamp
     convention (default: keyed per file off ``Footer.writer``,
@@ -219,7 +245,7 @@ def read_orc_dir(spark: SparkSession, path: str,
     (``meta.score``) prunes on the nested field's own statistics and
     projects its top-level root struct.
     """
-    files = list_orc_files(path)
+    files = list_orc_files(path, use_manifest=use_manifest)
     from engine.orc_read import read_orc_tail
     arrow_schema = read_orc_tail(files[0]).schema()
     out_columns = columns

@@ -198,6 +198,29 @@ def test_stream_writer_epoch_manifest(spark_ds, orc_dir, tmp_path):
     assert dict(back.dtypes)["arr"] == "array<int>"
 
 
+def test_manifest_snapshot_read(spark_ds, orc_dir, tmp_path):
+    """use_manifest reads exactly the _SUCCESS-committed snapshot: a
+    stray file dropped into the directory after the commit (a rival
+    job's straggler, an in-progress compaction) is invisible; the
+    plain listing sees it."""
+    from jobs.orc_read import list_orc_files, read_orc_dir
+    out = str(tmp_path / "snap")
+    df = spark_ds.read.format("orcx").load(orc_dir).limit(100)
+    df.write.format("orcx").mode("overwrite").save(out)
+    write_orc(pa.table({"doc_id": pa.array(["stray"]),
+                        "n_tok": pa.array(np.array([7], np.int32)),
+                        "score": pa.array([0.0]),
+                        "ts": pa.array([0], type=pa.timestamp("ns"))}),
+              os.path.join(out, "zz-straggler.orc"))
+    assert (spark_ds.read.format("orcx").load(out).count() == 101)
+    snap = (spark_ds.read.format("orcx")
+            .option("use_manifest", "true").load(out))
+    assert snap.count() == 100
+    assert read_orc_dir(spark_ds, out, use_manifest=True).count() == 100
+    with pytest.raises(Exception, match="_SUCCESS"):
+        list_orc_files(str(tmp_path), use_manifest=True)
+
+
 def test_stream_reader_incremental_pickup(spark_ds, tmp_path):
     """readStream.format("orcx") tails a directory: each availableNow
     run consumes exactly the files published since the checkpoint's
