@@ -138,3 +138,45 @@ def test_timestamp_java_roundtrip_property(ns_list):
     garbled = (t < 0) & (t > -10 ** 9) & ((t % 10 ** 9) // 10 ** 6 > 0)
     assert np.array_equal(got[~garbled], t[~garbled])
     assert np.array_equal(got[garbled], t[garbled] % 10 ** 9)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(st.integers(-(2 ** 40), 2 ** 40),
+                          min_size=1, max_size=120),
+                min_size=1, max_size=5),
+       st.integers(8, 64))
+def test_concat_equals_whole_property(chunks, stripe_rows):
+    """concat(write(c) for c in chunks) reads back as the
+    concatenation of the chunks, with file stats (count/min/max/sum)
+    equal to the whole-table stats — for arbitrary chunking and
+    stripe sizes (engine/orc_concat.py)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from engine.orc_concat import concat_orc
+    from engine.orc_file import write_orc
+    from engine.orc_read import read_orc, read_orc_tail
+
+    paths = []
+    try:
+        for c in chunks:
+            p = tempfile.mktemp(suffix=".orc")
+            write_orc(pa.table({"x": np.array(c, dtype=np.int64)}), p,
+                      stripe_rows=stripe_rows, row_index_stride=16)
+            paths.append(p)
+        out = tempfile.mktemp(suffix=".orc")
+        paths.append(out)  # cleanup
+        m = concat_orc(paths[:-1], out)
+        whole = [x for c in chunks for x in c]
+        assert m["n_rows"] == len(whole)
+        got = read_orc(out).column("x").to_pylist()
+        assert got == whole
+        st_ = read_orc_tail(out).file_stats()[1]
+        assert (st_["min"], st_["max"], st_["sum"], st_["n"]) == (
+            min(whole), max(whole), sum(whole), len(whole))
+    finally:
+        for p in paths:
+            if os.path.exists(p):
+                os.unlink(p)
