@@ -385,6 +385,15 @@ class OrcEngineStreamReader(DataSourceStreamReader):
         self._dir = path
         self._schema = schema
         self._options = options
+        # max_files_per_trigger (0 = unbounded): cap each micro-batch
+        # at K files, like Spark's own file source. The cap applies
+        # from the second batch of a run onward — latestOffset has no
+        # start-offset parameter in this API, so the base is the last
+        # offset THIS instance served/committed; the first batch after
+        # a restart is an unbounded catch-up rather than risking an
+        # offset that regresses behind the checkpoint.
+        self._max_files = int(options.get("max_files_per_trigger", "0"))
+        self._served: dict | None = None
 
     def initialOffset(self) -> dict:
         return {"t": 0, "boundary": []}
@@ -402,12 +411,24 @@ class OrcEngineStreamReader(DataSourceStreamReader):
         return [(m, f) for m, f in self._snapshot()
                 if m > t or (m == t and f not in boundary)]
 
+    @staticmethod
+    def _offset_for(consumed: list[tuple[int, str]]) -> dict:
+        t = consumed[-1][0]
+        return {"t": t, "boundary": [f for m, f in consumed if m == t]}
+
     def latestOffset(self) -> dict:
         snap = self._snapshot()
         if not snap:
             return {"t": 0, "boundary": []}
-        t = snap[-1][0]
-        return {"t": t, "boundary": [f for m, f in snap if m == t]}
+        if self._max_files and self._served is not None:
+            new = self._new_since(self._served)
+            if not new:
+                return self._served
+            off = self._offset_for(new[: self._max_files])
+        else:
+            off = self._offset_for(snap)
+        self._served = off
+        return off
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         from engine.orc_read import read_orc_tail
@@ -427,7 +448,9 @@ class OrcEngineStreamReader(DataSourceStreamReader):
         yield from _read_split(partition, self._schema, self._options, [])
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to clean: offsets are derived from the listing
+        # offsets derive from the listing; remember the committed end
+        # so a rate-limited latestOffset paces from real progress
+        self._served = end
 
 
 class OrcEngineStreamWriter(DataSourceStreamWriter):

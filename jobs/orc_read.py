@@ -111,7 +111,8 @@ def plan_orc_splits(spark: SparkSession, files: list[str],
 
 def read_orc_dir_stats(spark: SparkSession, path: str,
                        columns: list[str],
-                       sums: list[str] | tuple = ()) -> DataFrame:
+                       sums: list[str] | tuple = (),
+                       use_manifest: bool = False) -> DataFrame:
     """Metadata-only table statistics: one row per file with its row
     count and each requested column's file-level min/max, read from
     the ~KB file tails ALONE (engine.orc_read.OrcFileInfo.file_stats —
@@ -124,8 +125,11 @@ def read_orc_dir_stats(spark: SparkSession, path: str,
     ``sums``: integer columns to additionally surface the footer
     IntegerStatistics sum for (``sum_<col>`` int64) — SUM over a
     whole table from file tails alone. Null when a file's writer
-    omitted the sum (overflow convention, pre-sum writer)."""
-    files = list_orc_files(path)
+    omitted the sum (overflow convention, pre-sum writer).
+
+    ``use_manifest``: aggregate over the ``_SUCCESS``-committed
+    snapshot instead of the listing (see list_orc_files)."""
+    files = list_orc_files(path, use_manifest=use_manifest)
     from engine.orc_read import read_orc_tail
     schema = read_orc_tail(files[0]).schema()
     fields = [pa.field("path", pa.string()),

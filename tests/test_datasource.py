@@ -273,6 +273,40 @@ def test_stream_reader_offsets_unit(spark_ds, tmp_path):
     assert [p for p in rd.partitions(o1, o1) if p.stripes] == []
 
 
+def test_stream_reader_rate_limit_pacing(tmp_path):
+    """max_files_per_trigger: after the first (catch-up) batch,
+    latestOffset advances at most K files past the last committed
+    offset — one file per batch here. (Verified end-to-end with a
+    processingTime trigger during development; unit-level here to
+    keep the suite sleep-free.)"""
+    import time
+
+    from jobs.datasource import OrcEngineStreamReader
+    d = str(tmp_path / "paced")
+    os.makedirs(d)
+    for fi in range(3):
+        write_orc(pa.table({"x": pa.array([fi], type=pa.int64())}),
+                  os.path.join(d, f"f{fi}.orc"))
+        time.sleep(0.01)  # distinct mtimes
+    rd = OrcEngineStreamReader(d, None, {"max_files_per_trigger": "1"})
+    first = rd.latestOffset()       # catch-up: unbounded by design
+    assert len(rd._new_since(rd.initialOffset())) == 3
+    assert rd._new_since(first) == []
+    # steady state: pace from a committed offset, one file per batch
+    rd2 = OrcEngineStreamReader(d, None, {"max_files_per_trigger": "1"})
+    snap = rd2._snapshot()
+    rd2.commit(rd2._offset_for(snap[:1]))   # batch 0 consumed f0
+    o1 = rd2.latestOffset()
+    assert [f for _, f in rd2._new_since(rd2._offset_for(snap[:1]))
+            if True][:1] == ["f1.orc"]
+    assert rd2._new_since(o1)[0][1] == "f2.orc"  # o1 covered only f1
+    rd2.commit(o1)
+    o2 = rd2.latestOffset()
+    assert rd2._new_since(o2) == []              # o2 covered f2
+    parts = [p for p in rd2.partitions(o1, o2) if p.stripes]
+    assert len(parts) == 1 and parts[0].path.endswith("f2.orc")
+
+
 def test_spark_plan_reuse_hazard_pinned(spark_ds, orc_dir):
     """Documents (does not endorse) Spark 4.1's cached-read reuse:
     with the pushdown conf on, an unfiltered query on the SAME load()
