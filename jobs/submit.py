@@ -168,6 +168,9 @@ def main(argv: list[str] | None = None) -> int:
     si.add_argument("--allow-missing-columns", action="store_true",
                     help="null-fill projected columns absent from older "
                          "files (schema-evolved directories)")
+    si.add_argument("--use-manifest", action="store_true",
+                    help="read exactly the _SUCCESS-committed snapshot "
+                         "instead of the directory listing")
 
     sc = sub.add_parser("compact-orc")
     sc.add_argument("--input", required=True)
@@ -277,7 +280,8 @@ def main(argv: list[str] | None = None) -> int:
         df = read_orc_dir(spark, a.input, columns=cols,
                           parallelism=a.parallelism,
                           filters=filters,
-                          allow_missing_columns=a.allow_missing_columns)
+                          allow_missing_columns=a.allow_missing_columns,
+                          use_manifest=a.use_manifest)
         df.write.mode("overwrite").parquet(a.output)
         n = spark.read.parquet(a.output).count()
         print(json.dumps({"rows": n, "output": a.output}))
