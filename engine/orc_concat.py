@@ -67,24 +67,28 @@ _CODEC_NAMES = {0: "none", 1: "zlib", 2: "snappy", 3: "lzo", 4: "lz4",
                 5: "zstd", 6: "brotli"}
 
 
-def _tail_regions(info: OrcFileInfo) -> tuple[bytes, bytes]:
-    """(decompressed footer bytes, decompressed metadata bytes) from a
-    parsed tail — the raw regions OrcFileInfo walked in __init__."""
+def _tail_regions(info: OrcFileInfo) -> tuple[bytes, bytes, int]:
+    """(decompressed footer bytes, decompressed metadata bytes,
+    PostScript writerVersion) from a parsed tail — the raw regions
+    OrcFileInfo walked in __init__."""
     data = info.data
     ps_len = data[-1]
     footer_len = metadata_len = 0
+    writer_version = 0
     for fno, _, v in _fields(data[-1 - ps_len: -1]):
         if fno == 1:
             footer_len = v
         elif fno == 5:
             metadata_len = v
+        elif fno == 6:
+            writer_version = v
     footer = _deframe(data[-1 - ps_len - footer_len: -1 - ps_len],
                       info.compression)
     meta = _deframe(
         data[-1 - ps_len - footer_len - metadata_len:
              -1 - ps_len - footer_len],
         info.compression) if metadata_len else b""
-    return footer, meta
+    return footer, meta, writer_version
 
 
 def _type_signature(info: OrcFileInfo) -> tuple:
@@ -182,7 +186,7 @@ def concat_orc(in_paths: list[str], out_path: str) -> dict:
     with open(tmp, "wb") as out:
         out.write(MAGIC)
         pos = len(MAGIC)
-        for path, info, (_, meta) in zip(in_paths, infos, footers):
+        for path, info, (_, meta, _wv) in zip(in_paths, infos, footers):
             with open(path, "rb") as f:
                 for si in info.stripes:
                     off, ilen, dlen, flen, rows = (si[1], si[2], si[3],
@@ -217,10 +221,12 @@ def concat_orc(in_paths: list[str], out_path: str) -> dict:
             footer += pb_varint(9, ref.writer)
         footer = region(footer)
         out.write(footer)
+        # writerVersion copied from the first input (reader quirk
+        # switches key off it; the copied stripes ARE that writer's)
         ps = pb_varint(1, len(footer)) + pb_varint(2, ref.compression) \
             + pb_varint(3, ref.block_size) + pb_varint(4, 0) \
             + pb_varint(4, 12) + pb_varint(5, len(meta_region)) \
-            + pb_varint(6, 6) + pb_bytes(8000, MAGIC)
+            + pb_varint(6, footers[0][2]) + pb_bytes(8000, MAGIC)
         out.write(ps)
         out.write(bytes([len(ps)]))
     os.replace(tmp, out_path)
