@@ -738,7 +738,8 @@ def _q_orcx_scan(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="orcx_scan_")
     (tok.write.format("orcx").option("stripe_rows", "64")
      .mode("overwrite").save(out))
-    df = spark.read.format("orcx").load(out)
+    df = (spark.read.format("orcx").option("pushdown", "true")
+          .load(out))
     return df.where(F.col("n_tok") >= 90).select("doc_id", "n_tok")
 
 

@@ -6,11 +6,15 @@ the Spark 4.x Python Data Source API (pyspark.sql.datasource), so the
 whole stack drives through the idiomatic reader/writer interface:
 
     from jobs.datasource import register
-    register(spark)
+    register(spark, enable_pushdown=True)
     df = (spark.read.format("orcx")
           .option("columns", "doc_id,n_tok")
-          .load("/data/tokens_orc"))          # filters push down
-    df.where("n_tok >= 900").collect()
+          .option("pushdown", "true")         # Catalyst pushFilters
+          .load("/data/tokens_orc"))
+    df.where("n_tok >= 900").collect()        # stripes prune
+    # or hazard-free per-load filters, no conf needed:
+    spark.read.format("orcx") \
+        .option("filters", '[["n_tok", ">=", 900]]').load(...)
     out.write.format("orcx").option("compression", "zstd") \
        .mode("overwrite").save("/data/out_orc")
 
@@ -151,10 +155,20 @@ class OrcEngineDataSource(DataSource):
     (comma-separated projection; or pass ``.schema(...)``),
     ``convention`` (pre-1970 timestamp convention, default per-file),
     ``merge_schema`` (true: null-fill columns a file predates),
-    ``split_mb`` (target split size, default 64), ``use_manifest``
+    ``split_mb`` (target split size, default 64), ``pushdown``
+    (true: Catalyst filter pushdown via pushFilters — requires the
+    session conf register(spark, enable_pushdown=True) sets, and see
+    the plan-reuse caveat), ``use_manifest``
     (true: read exactly the ``_SUCCESS``-committed snapshot instead
     of the directory listing — stragglers and in-progress jobs in the
-    same directory are invisible).
+    same directory are invisible), ``filters`` (JSON conjunction of
+    ``[column, op, literal]`` triples, ops ``= < <= > >= in``;
+    nested fields as dotted paths). Explicit ``filters`` prune
+    stripes/row-groups like pushed filters do, but live on THIS
+    load()'s options — no global pushdown conf, no plan-reuse hazard
+    — and are re-applied EXACTLY on the decoded batches inside
+    ``read()``, so results match the predicate even though the engine
+    tiers prune at stripe/row-group granularity.
 
     Write options: ``compression`` (zlib default | snappy | lz4 |
     zstd | brotli | none), ``stripe_rows``, ``row_index_stride``,
@@ -191,6 +205,15 @@ class OrcEngineDataSource(DataSource):
         return from_arrow_schema(arrow, prefer_timestamp_ntz=False)
 
     def reader(self, schema: StructType) -> "OrcEngineReader":
+        # pushFilters-capable readers are REJECTED by Spark unless
+        # spark.sql.python.filterPushdown.enabled is on, so Catalyst
+        # pushdown is opt-in per load via option("pushdown","true")
+        # (plus the session conf — register(spark, True) sets it);
+        # the default reader still prunes via the ``filters`` option,
+        # which needs neither the conf nor pushFilters
+        if self.options.get("pushdown", "false").lower() == "true":
+            return OrcEnginePushdownReader(self._path(), schema,
+                                           self.options)
         return OrcEngineReader(self._path(), schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool):
@@ -203,18 +226,59 @@ class OrcEngineDataSource(DataSource):
         return OrcEngineStreamReader(self._path(), schema, self.options)
 
 
+def _parse_option_filters(options) -> list[tuple]:
+    """The ``filters`` read option: a JSON list of [column, op,
+    literal] triples (conjunction)."""
+    raw = options.get("filters")
+    if not raw:
+        return []
+    spec = json.loads(raw)
+    out = []
+    for item in spec:
+        col, op, val = item
+        if op not in ("=", "==", "<", "<=", ">", ">=", "in"):
+            raise ValueError(f"filters option: unsupported op {op!r}")
+        out.append((col, op, tuple(val) if op == "in" else val))
+    return out
+
+
+def _apply_filters_exact(tbl, filters: list[tuple]):
+    """Exact arrow-side conjunction filter (SQL null semantics: a
+    null comparison never matches). Dotted names resolve through
+    struct fields."""
+    import pyarrow.compute as pc
+    mask = None
+    for col, op, val in filters:
+        arr = tbl.column(col) if "." not in col else pc.struct_field(
+            tbl.column(col.split(".")[0]), col.split(".")[1:])
+        if op in ("=", "=="):
+            m = pc.equal(arr, val)
+        elif op == "<":
+            m = pc.less(arr, val)
+        elif op == "<=":
+            m = pc.less_equal(arr, val)
+        elif op == ">":
+            m = pc.greater(arr, val)
+        elif op == ">=":
+            m = pc.greater_equal(arr, val)
+        else:  # in
+            import pyarrow as pa
+            m = pc.is_in(arr, value_set=pa.array(list(val)))
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    return tbl.filter(mask) if mask is not None else tbl
+
+
 class OrcEngineReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType, options):
         self._path = path
         self._schema = schema
         self._options = options
         self._filters: list[tuple] = []
+        self._opt_filters = _parse_option_filters(options)
 
-    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
-        self._filters = _to_engine_filters(filters)
-        # hand every filter back: the engine tiers prune (supersets),
-        # Spark's re-evaluation keeps the result exact
-        return filters
+    def _all_filters(self) -> list[tuple]:
+        return self._filters + self._opt_filters
 
     def partitions(self) -> Sequence[InputPartition]:
         from concurrent.futures import ThreadPoolExecutor
@@ -229,7 +293,7 @@ class OrcEngineReader(DataSourceReader):
 
         def plan(p: str) -> list[OrcInputPartition]:
             info = read_orc_tail(p)
-            keep = stripes_matching(info, self._filters or None)
+            keep = stripes_matching(info, self._all_filters() or None)
             splits, run, sz = [], [], 0
             for i in keep:
                 si = info.stripes[i]
@@ -251,14 +315,34 @@ class OrcEngineReader(DataSourceReader):
 
     def read(self, partition: OrcInputPartition) -> Iterator:
         yield from _read_split(partition, self._schema, self._options,
-                               self._filters)
+                               self._all_filters(),
+                               exact_filters=self._opt_filters)
+
+
+class OrcEnginePushdownReader(OrcEngineReader):
+    """OrcEngineReader + Catalyst filter pushdown (pushFilters). A
+    separate class because Spark REFUSES to plan a reader that
+    implements pushFilters while the session conf
+    spark.sql.python.filterPushdown.enabled is false — selected via
+    option("pushdown", "true"). See the module docstring's plan-reuse
+    caveat before combining one load() with multiple query shapes."""
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        self._filters = _to_engine_filters(filters)
+        # hand every filter back: the engine tiers prune (supersets),
+        # Spark's re-evaluation keeps the result exact
+        return filters
 
 
 def _read_split(partition: OrcInputPartition, schema: StructType,
-                options, filters: list[tuple]) -> Iterator:
+                options, filters: list[tuple],
+                exact_filters: list[tuple] = ()) -> Iterator:
     """Task-side split decode shared by the batch and stream readers:
-    engine stripe-range read -> (optional) schema-evolution null-fill
-    -> cast to Spark's Arrow convention -> RecordBatches."""
+    engine stripe-range read (``filters`` prune row groups as a
+    superset) -> (optional) schema-evolution null-fill -> EXACT
+    arrow-side application of ``exact_filters`` (the option-provided
+    conjunction Spark knows nothing about) -> cast to Spark's Arrow
+    convention -> RecordBatches."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -278,11 +362,23 @@ def _read_split(partition: OrcInputPartition, schema: StructType,
             f"{partition.path}: ORC schema {got} lacks projected "
             f"{names}; set merge_schema=true to null-fill columns "
             "this file predates")
+    # an option filter may reference a non-projected column: decode
+    # its top-level root too, filter exactly, then drop it
+    roots = [f[0] if f[0] in got else f[0].split(".")[0]
+             for f in exact_filters]
+    if any(r not in got for r in roots):
+        # the file predates a filtered column: its value is null for
+        # every row, and a null comparison never matches
+        yield from target.empty_table().to_batches()
+        return
+    extra = [r for r in roots if r not in names]
     tbl = read_orc_stripes(
         partition.path, list(partition.stripes),
-        columns=[c for c in names if c not in absent],
+        columns=[c for c in names if c not in absent] + extra,
         convention=options.get("convention"),
         info=info, filters=filters or None)
+    if exact_filters:
+        tbl = _apply_filters_exact(tbl, exact_filters)
     for c in absent:
         tbl = tbl.append_column(
             target.field(c), pa.nulls(len(tbl), target.field(c).type))

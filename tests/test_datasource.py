@@ -61,15 +61,19 @@ def test_read_parity_with_spark_orc(spark_ds, orc_dir):
 
 def test_filter_pushdown_exact(spark_ds, orc_dir):
     # fresh load() per query shape: the documented usage under the
-    # pushdown conf (module docstring caveat)
-    df = spark_ds.read.format("orcx").load(orc_dir)
+    # pushdown conf (module docstring caveat); pushdown is opt-in
+    # per load because Spark rejects pushFilters readers when the
+    # session conf is off
+    df = (spark_ds.read.format("orcx").option("pushdown", "true")
+          .load(orc_dir))
     got = df.where("n_tok >= 1400").select("doc_id", "n_tok").collect()
     assert len(got) == 100
     assert sorted(r.n_tok for r in got) == list(range(1400, 1500))
 
 
 def test_pushdown_prunes_splits(orc_dir):
-    src = OrcEngineDataSource({"path": orc_dir, "split_mb": "0.001"})
+    src = OrcEngineDataSource({"path": orc_dir, "split_mb": "0.001",
+                               "pushdown": "true"})
     schema = src.schema()
     unfiltered = src.reader(schema)
     n_all = len([p for p in unfiltered.partitions() if p.stripes])
@@ -82,10 +86,16 @@ def test_pushdown_prunes_splits(orc_dir):
 
 
 def test_pushfilters_returns_all_filters(orc_dir):
-    src = OrcEngineDataSource({"path": orc_dir})
+    src = OrcEngineDataSource({"path": orc_dir, "pushdown": "true"})
     rd = src.reader(src.schema())
     fs = [GreaterThanOrEqual(("n_tok",), 7), EqualTo(("doc_id",), "x")]
     assert list(rd.pushFilters(fs)) == fs  # Spark re-applies: exact
+    # without the option, the reader does NOT override pushFilters
+    # (Spark refuses overriding readers when the session conf is off)
+    from pyspark.sql.datasource import DataSourceReader
+    plain = OrcEngineDataSource({"path": orc_dir})
+    assert type(plain.reader(plain.schema())).pushFilters \
+        is DataSourceReader.pushFilters
 
 
 def test_filter_translation():
@@ -196,6 +206,39 @@ def test_stream_writer_epoch_manifest(spark_ds, orc_dir, tmp_path):
     assert back.count() == 50
     # declared-schema conversion: array<int> stays int, not int64
     assert dict(back.dtypes)["arr"] == "array<int>"
+
+
+def test_option_filters_exact_without_pushdown_conf(spark, orc_dir):
+    """The filters option prunes AND applies exactly per load() —
+    no global pushdown conf, no plan-reuse hazard (each load() has
+    its own options), superset-free results."""
+    import json as _json
+
+    from jobs.datasource import OrcEngineDataSource, register
+    register(spark)  # pushdown conf left OFF
+    df = (spark.read.format("orcx")
+          .option("filters", _json.dumps([["n_tok", ">=", 1400]]))
+          .load(orc_dir))
+    got = sorted(r.n_tok for r in df.collect())
+    assert got == list(range(1400, 1500))  # exact, not a superset
+    # planning pruned: only the matching stripes survive
+    src = OrcEngineDataSource({
+        "path": orc_dir, "split_mb": "0.001",
+        "filters": _json.dumps([["n_tok", ">=", 1400]])})
+    rd = src.reader(src.schema())
+    assert sum(len(p.stripes) for p in rd.partitions()
+               if p.stripes) == 1
+    # filter on a non-projected column still applies exactly
+    only_id = (spark.read.format("orcx").schema("doc_id string")
+               .option("filters", _json.dumps([["n_tok", "in",
+                                                [3, 5, 1499]]]))
+               .load(orc_dir))
+    assert only_id.count() == 3 and only_id.columns == ["doc_id"]
+    # unknown op fails loud
+    with pytest.raises(Exception, match="unsupported op"):
+        (spark.read.format("orcx")
+         .option("filters", _json.dumps([["n_tok", "!=", 1]]))
+         .load(orc_dir).collect())
 
 
 def test_manifest_snapshot_read(spark_ds, orc_dir, tmp_path):
@@ -313,7 +356,8 @@ def test_spark_plan_reuse_hazard_pinned(spark_ds, orc_dir):
     DataFrame reuses the filtered plan. If this assertion ever flips
     to 1500, Spark fixed the reuse — delete the module-docstring
     caveat and this pin."""
-    df = spark_ds.read.format("orcx").load(orc_dir)
+    df = (spark_ds.read.format("orcx").option("pushdown", "true")
+          .load(orc_dir))
     assert df.count() == 1500            # plans unfiltered
     assert df.where("n_tok >= 1400").count() == 100
     assert df.count() in (100, 1500)     # Spark may reuse either plan
