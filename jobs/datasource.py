@@ -499,7 +499,10 @@ class OrcEngineStreamReader(DataSourceStreamReader):
         for f in os.listdir(self._dir):
             if f.endswith(".orc"):
                 full = os.path.join(self._dir, f)
-                out.append((os.stat(full).st_mtime_ns, f))
+                try:
+                    out.append((os.stat(full).st_mtime_ns, f))
+                except FileNotFoundError:
+                    pass  # retention deleted it between listdir and stat
         return sorted(out)
 
     def _new_since(self, off: dict) -> list[tuple[int, str]]:
@@ -515,7 +518,10 @@ class OrcEngineStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         snap = self._snapshot()
         if not snap:
-            return {"t": 0, "boundary": []}
+            # an emptied directory (retention) must not rewind the
+            # watermark — a rewound offset would reprocess files that
+            # later reappear behind it
+            return self._served or {"t": 0, "boundary": []}
         if self._max_files and self._served is not None:
             new = self._new_since(self._served)
             if not new:

@@ -316,6 +316,29 @@ def test_stream_reader_offsets_unit(spark_ds, tmp_path):
     assert [p for p in rd.partitions(o1, o1) if p.stripes] == []
 
 
+def test_stream_reader_retention_safe(tmp_path):
+    """Deleting consumed files (retention) must not rewind the
+    offset watermark: an emptied directory keeps reporting the last
+    served offset, and a later file with a fresh mtime is picked up
+    exactly once."""
+    from jobs.datasource import OrcEngineStreamReader
+    d = str(tmp_path / "ret")
+    os.makedirs(d)
+    write_orc(pa.table({"x": pa.array([1], type=pa.int64())}),
+              os.path.join(d, "f0.orc"))
+    rd = OrcEngineStreamReader(d, None, {})
+    o1 = rd.latestOffset()
+    rd.commit(o1)
+    os.unlink(os.path.join(d, "f0.orc"))   # retention
+    assert rd.latestOffset() == o1          # no rewind
+    write_orc(pa.table({"x": pa.array([2], type=pa.int64())}),
+              os.path.join(d, "f1.orc"))
+    o2 = rd.latestOffset()
+    assert o2 != o1
+    parts = [p for p in rd.partitions(o1, o2) if p.stripes]
+    assert len(parts) == 1 and parts[0].path.endswith("f1.orc")
+
+
 def test_stream_reader_rate_limit_pacing(tmp_path):
     """max_files_per_trigger: after the first (catch-up) batch,
     latestOffset advances at most K files past the last committed
