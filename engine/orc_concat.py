@@ -27,8 +27,10 @@ What the rewritten tail preserves:
   min/max any input omitted while holding values (e.g. the NaN
   convention for floats) stays omitted in the output — the same
   conservative poisoning rule as the writer (engine/orc_file.py).
-  Input sums (a field this engine's writer does not emit) are
-  dropped rather than guessed.
+  Statistics sums (IntegerStatistics/DoubleStatistics field 3) merge
+  by adding, and only when EVERY input carried one — an omitted
+  input sum means overflow (the writers' omit-on-overflow
+  convention), so the merged sum is omitted too rather than guessed.
 
 ROW_INDEX, bloom filter streams, dictionaries and all data bytes are
 untouched — readers seek inside the copied stripes exactly as before
@@ -111,8 +113,18 @@ def _merge_file_stats(infos: list[OrcFileInfo]) -> list[bytes]:
         have_sum = True  # int sums add only if EVERY input carried one
         for info in infos:
             if ci >= len(info._file_stats_raw):
-                poisoned = True  # an input without footer stats
-                continue
+                # the same-writer precondition (checked in concat_orc)
+                # makes a missing footer ColumnStatistics an anomaly;
+                # silently merging would undercount numberOfValues and
+                # could report hasNull=false despite nulls in the
+                # copied stripes — fail loud instead of lying to
+                # third-party tail readers
+                raise ValueError(
+                    f"concat_orc: an input carries no footer "
+                    f"ColumnStatistics for column {ci} (got "
+                    f"{len(info._file_stats_raw)} stat messages for "
+                    f"{n_cols} columns); merged file statistics would "
+                    "be wrong — decode-and-rewrite this file instead")
             d = _parse_col_stats(info._file_stats_raw[ci])
             n += d["n"]
             has_null = has_null or d["has_null"]
@@ -178,7 +190,14 @@ def concat_orc(in_paths: list[str], out_path: str) -> dict:
         return _frame(raw, ref.block_size, comp_name)[0]
 
     footers = [_tail_regions(i) for i in infos]
-    tmp = out_path + ".tmp"
+    # attempt-unique temp name: two concurrent attempts of one task
+    # (speculative execution, a zombie executor racing a retry) must
+    # write disjoint files — a SHARED tmp path would interleave their
+    # writes and os.replace could publish a torn output. With unique
+    # names the last os.replace wins atomically (both attempts wrote
+    # identical content).
+    import uuid as _uuid
+    tmp = f"{out_path}.{_uuid.uuid4().hex}.tmp"
     stripes_pb = b""
     metadata = b""
     total_rows = 0

@@ -17,10 +17,11 @@ dictionarySize=2.
 
 Compression: the whole tail (footer, stripe footers) and every stream
 are chunk-framed with the 3-byte ``(len << 1) | isOriginal`` headers
-(the same framing as engine/compress.py's C1 wrapper). Chunk codecs:
-NONE, ZLIB (raw deflate), SNAPPY (block format, embedded length
-varint), ZSTD (frames, streamed via pyarrow) — the set Spark/pyarrow
-actually emit. LZO/LZ4/BROTLI raise a descriptive error.
+(the same framing as engine/compress.py's C1 wrapper). All SEVEN
+CompressionKinds inflate: NONE, ZLIB (raw deflate), SNAPPY (block
+format, embedded length varint), ZSTD (frames, streamed via pyarrow),
+LZ4 (raw blocks, dependency-free decoder engine/lz4.py), LZO (lzo1x,
+dependency-free decoder engine/lzo.py), BROTLI (via pyarrow).
 
 Timestamps: the pre-1970 sub-second convention differs between ORC
 C++ and orc-core Java (ORC-611, engine/types.py). The reader keys the

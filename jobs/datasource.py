@@ -288,7 +288,13 @@ class OrcEngineReader(DataSourceReader):
 
         use_m = self._options.get("use_manifest",
                                   "false").lower() == "true"
-        files = list_orc_files(self._path, use_manifest=use_m)
+        try:
+            files = list_orc_files(self._path, use_manifest=use_m)
+        except FileNotFoundError:
+            # reaching partitions() means the schema already resolved
+            # (user-supplied, or the directory emptied since planning):
+            # an empty scan is the valid result, not a crash
+            return [OrcInputPartition("", ())]
         target = int(float(self._options.get("split_mb", "64")) * (1 << 20))
 
         def plan(p: str) -> list[OrcInputPartition]:
@@ -371,7 +377,10 @@ def _read_split(partition: OrcInputPartition, schema: StructType,
         # every row, and a null comparison never matches
         yield from target.empty_table().to_batches()
         return
-    extra = [r for r in roots if r not in names]
+    # dict.fromkeys: two filters on one non-projected column (the
+    # classic range filter lo <= c <= hi) must add its root ONCE — a
+    # duplicated projection column makes tbl.column() ambiguous
+    extra = list(dict.fromkeys(r for r in roots if r not in names))
     tbl = read_orc_stripes(
         partition.path, list(partition.stripes),
         columns=[c for c in names if c not in absent] + extra,
@@ -527,6 +536,17 @@ class OrcEngineStreamReader(DataSourceStreamReader):
             if not new:
                 return self._served
             off = self._offset_for(new[: self._max_files])
+            if off["t"] == self._served["t"]:
+                # the cap cut INSIDE a same-mtime cohort without
+                # advancing the watermark: the previously-consumed
+                # boundary files would drop out of the new boundary
+                # and be re-served forever (duplicates) while later
+                # cohort files starve. Union the start boundary in so
+                # consumed files stay consumed. Same-mtime cohorts are
+                # realistic (coarse-mtime filesystems, parallel task
+                # publishes landing in one tick).
+                off["boundary"] = sorted(
+                    set(off["boundary"]) | set(self._served["boundary"]))
         else:
             off = self._offset_for(snap)
         self._served = off

@@ -69,7 +69,14 @@ def list_orc_files(path: str, use_manifest: bool = False) -> list[str]:
                 f"manifest {m} names deleted files: {missing[:3]}")
         return files
     if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, "*.orc")))
+        found = sorted(glob.glob(os.path.join(path, "*.orc")))
+        if not found:
+            # fail loud here, once, instead of the obscure downstream
+            # crashes an empty listing used to cause (files[0] Index-
+            # Error, ThreadPoolExecutor(max_workers=0), repartition(0))
+            raise FileNotFoundError(
+                f"directory {path!r} contains no .orc files")
+        return found
     found = sorted(glob.glob(path))
     if not found:
         raise FileNotFoundError(f"no ORC files match {path!r}")
@@ -257,7 +264,9 @@ def read_orc_dir(spark: SparkSession, path: str,
         # a nested filter column projects its top-level root struct
         roots = [f[0] if arrow_schema.get_field_index(f[0]) >= 0
                  else f[0].split(".")[0] for f in filters]
-        columns = columns + [r for r in roots if r not in columns]
+        # dict.fromkeys: a range filter contributes its column once
+        columns = columns + list(dict.fromkeys(
+            r for r in roots if r not in columns))
     if columns is not None:
         missing = [c for c in columns if arrow_schema.get_field_index(c) < 0]
         if missing:

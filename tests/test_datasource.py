@@ -386,3 +386,76 @@ def test_spark_plan_reuse_hazard_pinned(spark_ds, orc_dir):
     assert df.count() in (100, 1500)     # Spark may reuse either plan
     # fresh relation: always correct
     assert spark_ds.read.format("orcx").load(orc_dir).count() == 1500
+
+
+def test_stream_reader_same_mtime_cohort(tmp_path):
+    """Rate-limited pacing through a SAME-MTIME cohort (coarse-mtime
+    filesystems, parallel publishes landing in one tick): with
+    max_files_per_trigger=1, each batch must consume exactly one NEW
+    file — no re-serves of already-consumed cohort members (the old
+    boundary-rebuild bug duplicated f0 forever and starved f2)."""
+    from jobs.datasource import OrcEngineStreamReader
+    d = str(tmp_path / "cohort")
+    os.makedirs(d)
+    for fi in range(3):
+        write_orc(pa.table({"x": pa.array([fi], type=pa.int64())}),
+                  os.path.join(d, f"f{fi}.orc"))
+    t = os.stat(os.path.join(d, "f0.orc")).st_mtime_ns
+    for fi in range(3):
+        os.utime(os.path.join(d, f"f{fi}.orc"), ns=(t, t))
+    rd = OrcEngineStreamReader(d, None, {"max_files_per_trigger": "1"})
+    snap = rd._snapshot()
+    assert len({m for m, _ in snap}) == 1  # one cohort, by construction
+    start = rd._offset_for(snap[:1])       # batch 0 consumed f0
+    rd.commit(start)
+    served = ["f0.orc"]
+    off = start
+    for _ in range(2):
+        nxt = rd.latestOffset()
+        batch = [os.path.basename(p.path)
+                 for p in rd.partitions(off, nxt) if p.stripes]
+        assert len(batch) == 1 and batch[0] not in served
+        served.extend(batch)
+        rd.commit(nxt)
+        off = nxt
+    assert sorted(served) == ["f0.orc", "f1.orc", "f2.orc"]
+    assert rd._new_since(off) == []        # drained, nothing re-served
+    assert rd.latestOffset() == off
+
+
+def test_range_filter_on_non_projected_column(spark_ds, orc_dir):
+    """TWO filters on one non-projected column (the classic range
+    filter) must add its root to the decode projection ONCE — the
+    duplicated-column bug made tbl.column() raise KeyError."""
+    import json as _json
+    df = (spark_ds.read.format("orcx").schema("doc_id string")
+          .option("filters", _json.dumps([["n_tok", ">=", 5],
+                                          ["n_tok", "<=", 10]]))
+          .load(orc_dir))
+    got = df.collect()
+    assert len(got) == 6 and df.columns == ["doc_id"]
+    # same latent pattern in the mapInArrow reader
+    from jobs.orc_read import read_orc_dir
+    eng = read_orc_dir(spark_ds, orc_dir, columns=["doc_id"],
+                       filters=[("n_tok", ">=", 5),
+                                ("n_tok", "<=", 10)])
+    assert eng.count() == 6 and eng.columns == ["doc_id"]
+
+
+def test_empty_directory_fails_loud_or_scans_empty(spark_ds, tmp_path):
+    """A directory with no .orc files: schema probing fails with a
+    CLEAR FileNotFoundError everywhere; a scan with a user-supplied
+    schema returns empty instead of crashing."""
+    from jobs.orc_read import list_orc_files, read_orc_dir
+    d = str(tmp_path / "nothing")
+    os.makedirs(d)
+    with pytest.raises(FileNotFoundError, match="no .orc files"):
+        list_orc_files(d)
+    with pytest.raises(FileNotFoundError, match="no .orc files"):
+        read_orc_dir(spark_ds, d)
+    with pytest.raises(Exception, match="no .orc files"):
+        spark_ds.read.format("orcx").load(d).count()
+    # user schema supplied: planning resolves, the scan is just empty
+    df = (spark_ds.read.format("orcx")
+          .schema("doc_id string, n_tok int").load(d))
+    assert df.count() == 0

@@ -173,3 +173,46 @@ def test_distributed_compaction(spark, tmp_path):
     assert [p for b in bins for p in b] == sorted(
         os.path.join(in_dir, f) for f in os.listdir(in_dir)
         if f.endswith(".orc"))
+
+
+def test_missing_footer_stats_fails_loud(tmp_path):
+    """An input whose tail carries no footer ColumnStatistics (an
+    anomaly under the same-writer precondition): the merge must fail
+    loud instead of silently undercounting numberOfValues/hasNull."""
+    from engine.orc_concat import _merge_file_stats
+    a = str(tmp_path / "a.orc")
+    b = str(tmp_path / "b.orc")
+    write_orc(_mk(0), a)
+    write_orc(_mk(600), b)
+    ia, ib = read_orc_tail(a), read_orc_tail(b)
+    ib._file_stats_raw = ib._file_stats_raw[:2]  # simulate a bare tail
+    with pytest.raises(ValueError, match="no footer ColumnStatistics"):
+        _merge_file_stats([ia, ib])
+
+
+def test_concat_tmp_name_attempt_unique(tmp_path):
+    """Concurrent attempts of one concat task write DISJOINT temp
+    files: the temp path must not be deterministic (a shared tmp
+    interleaves writes and can publish a torn file)."""
+    import threading
+    a = str(tmp_path / "a.orc")
+    b = str(tmp_path / "b.orc")
+    write_orc(_mk(0), a)
+    write_orc(_mk(600), b)
+    out = str(tmp_path / "merged.orc")
+    errs = []
+
+    def attempt():
+        try:
+            concat_orc([a, b], out)
+        except Exception as e:  # pragma: no cover - would be the bug
+            errs.append(e)
+
+    ts = [threading.Thread(target=attempt) for _ in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    # whichever attempt won, the published file is whole
+    got = read_orc(out)
+    assert got.num_rows == 1200
+    assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]
