@@ -253,7 +253,9 @@ def main():
     srows = rows
     big = min(cores, 4)
     small = max(1, big // 4)
-    n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "2"))
+    # r5 (r4 verdict #3): >=3 interleaved pairs so one bad host window
+    # cannot dominate the median
+    n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3"))
     # r4 hardening: each leg is MIN over ``leg_rounds`` in-session
     # rounds — round 2 runs in the already-touched JVM/worker arenas,
     # so the serialized first-touch fault path (which sank r3's driver
@@ -265,8 +267,11 @@ def main():
     # pairs if the pass exceeded it (degraded-window walls run 5-10x;
     # a bench that never returns is worse than one honest pair).
     # Reported n = pairs actually run.
+    # 1400 s fits three full pairs at r4's degraded-window walls
+    # (~420 s/pair); the early stop still protects the driver's bench
+    # budget when a pass runs pathologically slow
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S",
-                                    "720"))
+                                    "1400"))
 
     def run_pairs():
         t_pass0 = time.time()
@@ -310,33 +315,35 @@ def main():
     thr, pair_eff, legs_out = run_pairs()
     scaling_first_pass_s = time.time() - t_scaling0
 
-    def big_sys_ratio(legs):
-        # whole-host sys/user CPU over the BIG legs. A healthy window
-        # runs the 4-core legs at sys/user ~0.2-0.3; a window where
-        # this box's machine-wide SERIALIZED fault path is saturated
-        # runs them at ~0.8-1.3 — the added cores queue on the kernel,
-        # not on the codec. Measured A/B on identical code this round:
-        # efficiency 0.943 with big-leg ratios 0.22/0.26 vs efficiency
-        # 0.52 with ratios 0.85/1.29, both with tight pair spreads —
-        # so spread alone cannot catch a window where BOTH pairs
-        # degrade together.
-        rs = [l["cpu_sys_s"] / max(l["cpu_user_s"], 1e-9)
-              for l in legs if l["cores"] == big]
-        return statistics.median(rs) if rs else 0.0
+    def max_sys_ratio(legs):
+        # whole-host sys/user CPU, worst over ALL legs (r4 verdict #3:
+        # symmetric — a sys-degraded SMALL leg inflates efficiency just
+        # as a degraded big leg deflates it; r4's 1-core legs ran at
+        # 0.85/0.52 sys/user while one pair reported an impossible
+        # 1.035). A healthy window runs legs at sys/user ~0.2-0.3; a
+        # window where this box's machine-wide SERIALIZED fault path
+        # is saturated runs them at ~0.8-1.3 — the cores queue on the
+        # kernel, not on the codec. Measured A/B on identical code in
+        # r4: efficiency 0.943 with ratios 0.22/0.26 vs 0.52 with
+        # 0.85/1.29, both with tight pair spreads — spread alone
+        # cannot catch a window where every leg degrades together.
+        rs = [l["cpu_sys_s"] / max(l["cpu_user_s"], 1e-9) for l in legs]
+        return max(rs) if rs else 0.0
 
     def flagged(pe, legs):
-        # median > 1 is physically impossible for true scaling; a
+        # median > 1 is physically impossible for true scaling; ANY
+        # pair > 1.0 means at least that pair's window moved; a
         # max/min pair spread > 1.5 means the host window moved more
         # between legs than the parallelism did (r3 shipped 0.535 with
         # spread 0.496-0.946 unflagged — that was noise as signal);
-        # a sys-dominated big leg means the serialized host fault
-        # path, not the plan, bounded the measured speedup
+        # a sys-dominated leg (either size) means the serialized host
+        # fault path, not the plan, bounded the measured ratio
         return (statistics.median(pe) > 1.0
                 or max(pe) / min(pe) > 1.5
-                or big_sys_ratio(legs) > 0.6)
+                or max_sys_ratio(legs) > 0.6)
 
     def badness(pe, legs):
-        return max(pe) / min(pe) + (2.0 if big_sys_ratio(legs) > 0.6
+        return max(pe) / min(pe) + (2.0 if max_sys_ratio(legs) > 0.6
                                     else 0.0)
 
     reran = False
@@ -351,33 +358,43 @@ def main():
         thr2, pair_eff2, legs_out2 = run_pairs()
         if badness(pair_eff2, legs_out2) < badness(pair_eff, legs_out):
             thr, pair_eff, legs_out = thr2, pair_eff2, legs_out2
-    eff_median = statistics.median(pair_eff)
+    # a pair ratio > 1.0 is physically impossible for true scaling
+    # (measurement jitter / host drift): the shipped headline CAPS
+    # those pairs at 1.0 and counts them (n_gt1) so no >1 pair ships
+    # unexplained; the raw pair values stay in the full blob
+    capped = [min(p, 1.0) for p in pair_eff]
+    eff_median = statistics.median(capped)
     result["scaling"] = {
         "cores_small": small, "cores_big": big, "rows": srows,
         "mtok_s_small": round(statistics.median(thr[small]) / 1e6, 2),
         "mtok_s_big": round(statistics.median(thr[big]) / 1e6, 2),
         "efficiency": round(eff_median, 3),
-        "efficiency_pairs": {
-            "median": round(eff_median, 3),
+        "pairs": {
+            "median_raw": round(statistics.median(pair_eff), 3),
             "min": round(min(pair_eff), 3),
             "max": round(max(pair_eff), 3),
             "n": len(pair_eff),
+            "n_gt1_capped": sum(p > 1.0 for p in pair_eff),
         },
         "noise_dominated": flagged(pair_eff, legs_out),
-        "host_degraded_sys_ratio": round(big_sys_ratio(legs_out), 3),
+        "max_leg_sys_ratio": round(max_sys_ratio(legs_out), 3),
         "reran_on_noise": reran,
-        "legs": legs_out,
-        "protocol": "same job, same input, live-measured this run; "
-                    "median of interleaved (small,big) pair ratios "
-                    "with spread; each leg = min over "
-                    f"{leg_rounds} in-session rounds (round 2+ runs "
-                    "in the warm JVM, bounding first-touch-fault "
-                    "noise); median>1 OR pair spread>1.5 OR big-leg "
-                    "sys/user>0.6 (serialized host fault path "
-                    "saturated — both pairs degrade together, spread "
-                    "can't see it) flags noise and triggers ONE "
-                    "re-run (healthier set kept); per-leg host "
-                    "cpu/fault deltas attribute degraded windows",
+    }
+    full_extra = {
+        "scaling_legs": legs_out,
+        "scaling_pairs_raw": [round(p, 4) for p in pair_eff],
+        "scaling_protocol":
+            "same job, same input, live-measured this run; median of "
+            "interleaved (small,big) pair ratios, pairs capped at 1.0 "
+            "for the headline (raw values here); each leg = min over "
+            f"{leg_rounds} in-session rounds (round 2+ runs in the "
+            "warm JVM, bounding first-touch-fault noise); median>1 OR "
+            "pair spread>1.5 OR ANY leg sys/user>0.6 (serialized host "
+            "fault path saturated — every leg degrades together, "
+            "spread can't see it; a degraded SMALL leg would inflate "
+            "efficiency) flags noise and triggers ONE re-run "
+            "(healthier set kept); per-leg host cpu/fault deltas "
+            "attribute degraded windows",
     }
 
     # kernel-probe curve: the encode kernel alone under fork-based
@@ -396,9 +413,9 @@ def main():
             kcurve[str(nproc)] = {
                 "mtok_s": round(t, 2),
                 "eff_vs_1": round(t / base / nproc, 3)}
-        result["scaling_kernel_probe"] = kcurve
+        full_extra["scaling_kernel_probe"] = kcurve
     except Exception as e:  # pragma: no cover - probe must not kill bench
-        result["scaling_kernel_probe"] = {"error": str(e)}
+        full_extra["scaling_kernel_probe"] = {"error": str(e)}
 
     if os.environ.get("BENCH_SCALING"):
         # full parallelism curve at the headline row count (for
@@ -408,9 +425,26 @@ def main():
             rc = run_pipeline(c, rows, verify=False, rounds=2)
             curve[str(c)] = round(
                 rc["n_values"] / (rc["encode_s"] + rc["decode_s"]) / 1e6, 2)
-        result["scaling_curve_mtok_s"] = curve
+        full_extra["scaling_curve_mtok_s"] = curve
 
-    print(json.dumps(result))
+    # full forensics blob (per-leg host counters, raw pair ratios,
+    # protocol prose, kernel probe) to a FILE: the driver keeps only
+    # the last ~2000 stdout chars, and r4's all-in-one line outgrew
+    # that window, leaving BENCH_r04's `parsed` null. The LAST stdout
+    # line is the compact headline JSON the driver parses.
+    full = {**result, **full_extra}
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"full forensics: {full_path}")
+    except OSError as e:  # pragma: no cover - forensics must not kill it
+        print(f"full forensics unwritable: {e}")
+    line = json.dumps(result)
+    assert len(line) < 1500, (len(line), "headline line outgrew the "
+                              "driver's stdout tail window")
+    print(line)
 
 
 if __name__ == "__main__":
