@@ -146,41 +146,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # per-codec round-trip kernels
 # ---------------------------------------------------------------------------
 
-def _int_codec_query(encode_fn, decode_fn):
-    """Query factory: n_chars through an integer codec, null-free."""
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import numpy as np
-        import pyarrow as pa
+def _q_int_codecs(spark, sf_dir):
+    """I1-I11 in ONE query (consolidated so the checking harness's
+    50-query window covers every operator): n_chars through RLEv2
+    (I4-I11), RLEv1 (I3) and zigzag varints (I1-I2) as three
+    independent round-tripped columns — a break in ANY codec breaks
+    its column against the identity oracle."""
+    import numpy as np
+    import pyarrow as pa
 
-        def kernel(batches):
-            for b in batches:
-                v = b.column("n_chars").to_numpy().astype(np.int64)
-                dec = decode_fn(encode_fn(v), len(v))
-                yield pa.RecordBatch.from_arrays(
-                    [b.column("doc_id"), pa.array(dec, type=pa.int64())],
-                    names=["doc_id", "n_chars"])
+    def kernel(batches):
+        from engine.rle1 import decode_rlev1, encode_rlev1
+        from engine.rle2 import decode_rlev2, encode_rlev2
+        from engine.varint import (decode_signed_varints,
+                                   encode_signed_varints)
+        for b in batches:
+            v = b.column("n_chars").to_numpy().astype(np.int64)
+            r2 = decode_rlev2(encode_rlev2(v), len(v))
+            r1 = decode_rlev1(encode_rlev1(v), len(v))
+            vi = decode_signed_varints(encode_signed_varints(v),
+                                       len(v))[0]
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"),
+                 pa.array(r2, type=pa.int64()),
+                 pa.array(r1, type=pa.int64()),
+                 pa.array(vi, type=pa.int64())],
+                names=["doc_id", "nc_rlev2", "nc_rlev1", "nc_varint"])
 
-        docs = _docs(spark, sf_dir).select(
-            F.col("doc_id").cast("string").alias("doc_id"), "n_chars")
-        return docs.mapInArrow(kernel, "doc_id string, n_chars bigint")
-    return q
-
-
-def _q_rlev2(spark, sf_dir):
-    from engine.rle2 import decode_rlev2, encode_rlev2
-    return _int_codec_query(encode_rlev2, decode_rlev2)(spark, sf_dir)
-
-
-def _q_rlev1(spark, sf_dir):
-    from engine.rle1 import decode_rlev1, encode_rlev1
-    return _int_codec_query(encode_rlev1, decode_rlev1)(spark, sf_dir)
-
-
-def _q_varint(spark, sf_dir):
-    from engine.varint import decode_signed_varints, encode_signed_varints
-    return _int_codec_query(
-        encode_signed_varints,
-        lambda buf, n: decode_signed_varints(buf, n)[0])(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars")
+    return docs.mapInArrow(
+        kernel, "doc_id string, nc_rlev2 bigint, nc_rlev1 bigint, "
+                "nc_varint bigint")
 
 
 def _q_present_nulls(spark, sf_dir):
@@ -778,14 +775,17 @@ def _q_orc_compact_scan(spark, sf_dir):
 
 
 def _q_orc_meta_agg(spark, sf_dir):
-    """Metadata-only aggregates: COUNT/MIN/MAX over a whole ORC
+    """Metadata-only aggregates: COUNT/MIN/MAX/SUM over a whole ORC
     directory computed from the ~KB file TAILS alone — the engine
     writer's footer-level ColumnStatistics
-    (engine/orc_file.py cross-stripe aggregation) parsed back by
+    (engine/orc_file.py cross-stripe aggregation, including the
+    IntegerStatistics sum slot: field 3, sint64, omitted on overflow
+    per the spec convention, cross-impl pinned against ORC C++-written
+    sums in tests) parsed back by
     engine.orc_read.OrcFileInfo.file_stats and distributed one
     tail-read per file (jobs/orc_read.read_orc_dir_stats). Zero
     stripe bytes are touched; at a million files this is the entire
-    cost of SELECT COUNT(*), MIN(x), MAX(x)."""
+    cost of SELECT COUNT(*), MIN(x), MAX(x), SUM(x)."""
     import tempfile
 
     from jobs.orc_read import read_orc_dir_stats
@@ -794,35 +794,14 @@ def _q_orc_meta_agg(spark, sf_dir):
     tok = _token_df(spark, sf_dir).repartition(4)
     out = tempfile.mkdtemp(prefix="orc_meta_agg_")
     write_orc_dir(tok, out).collect()
-    st = read_orc_dir_stats(spark, out, ["n_tok", "doc_id"])
+    st = read_orc_dir_stats(spark, out, ["n_tok", "doc_id"],
+                            sums=["n_tok"])
     return st.agg(
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.min("min_n_tok").cast("int").alias("min_ntok"),
         F.max("max_n_tok").cast("int").alias("max_ntok"),
         F.min("min_doc_id").alias("min_docid"),
-        F.max("max_doc_id").alias("max_docid"))
-
-
-def _q_orc_meta_sum(spark, sf_dir):
-    """SUM from file tails alone: the engine writer emits the ORC
-    IntegerStatistics sum (field 3, sint64, omitted on overflow — the
-    spec convention) per row group, stripe, and file; the tail reader
-    parses it back (cross-impl pinned against ORC C++-written sums in
-    tests) and read_orc_dir_stats(sums=...) surfaces it per file. A
-    whole-table SUM over a million files costs a million ~KB tail
-    reads and zero stripe bytes."""
-    import tempfile
-
-    from jobs.orc_read import read_orc_dir_stats
-    from jobs.orc_write import write_orc_dir
-
-    tok = _token_df(spark, sf_dir).select("doc_id", "n_tok") \
-        .repartition(4)
-    out = tempfile.mkdtemp(prefix="orc_meta_sum_")
-    write_orc_dir(tok, out).collect()
-    st = read_orc_dir_stats(spark, out, [], sums=["n_tok"])
-    return st.agg(
-        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.max("max_doc_id").alias("max_docid"),
         F.sum("sum_n_tok").cast("long").alias("tok_total"))
 
 
@@ -1117,10 +1096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship: full block pipeline (I1-I11, S1-S4, T6, M4, M6)
         "tokens_roundtrip": lambda s, d: entry_at(s, d),
-        # integer codecs
-        "rlev2_roundtrip": _q_rlev2,                      # I4-I11
-        "rlev1_roundtrip": _q_rlev1,                      # I3
-        "varint_roundtrip": _q_varint,                    # I1-I2
+        # integer codecs: RLEv2 + RLEv1 + zigzag varints as three
+        # independent columns of one query (I1-I11)
+        "int_codecs_roundtrip": _q_int_codecs,
         "present_nulls_roundtrip": _q_present_nulls,      # B1-B2
         # string codecs
         "dict_roundtrip_source": _str_codec_query(
@@ -1154,8 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orcx_scan": _q_orcx_scan,                        # M4-M6 (DSv2)
         # zero-decode small-file compaction (raw stripe copy)
         "orc_compact_scan": _q_orc_compact_scan,          # M4+M1 files
-        "orc_meta_agg": _q_orc_meta_agg,                  # M1 tails-only
-        "orc_meta_sum": _q_orc_meta_sum,                  # M1 sum stats
+        # tails-only COUNT/MIN/MAX/SUM (sum stats folded in, r4->r5)
+        "orc_meta_agg": _q_orc_meta_agg,                  # M1
         "orc_rowgroup_seek": _q_orc_rowgroup_seek,        # M2 (files)
         # LZ4 chunk codec both directions (engine write -> orc-core
         # read; orc-core write -> engine read)
@@ -1209,15 +1187,11 @@ def oracle_sql() -> dict[str, str]:
                    {_SQL_NTOK} AS n_tok,
                    CAST(list_sum({_SQL_TOKENS}) AS BIGINT) AS tok_sum
             FROM documents""",
-        "rlev2_roundtrip":
-            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars "
-            "FROM documents",
-        "rlev1_roundtrip":
-            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars "
-            "FROM documents",
-        "varint_roundtrip":
-            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars "
-            "FROM documents",
+        "int_codecs_roundtrip":
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(n_chars AS BIGINT) AS nc_rlev2, "
+            "CAST(n_chars AS BIGINT) AS nc_rlev1, "
+            "CAST(n_chars AS BIGINT) AS nc_varint FROM documents",
         "present_nulls_roundtrip":
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CASE WHEN n_chars % 3 = 0 THEN NULL ELSE n_chars END AS v "
@@ -1319,10 +1293,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN({_SQL_NTOK}) AS INTEGER) AS min_ntok,
                    CAST(MAX({_SQL_NTOK}) AS INTEGER) AS max_ntok,
                    MIN(CAST(doc_id AS VARCHAR)) AS min_docid,
-                   MAX(CAST(doc_id AS VARCHAR)) AS max_docid
-            FROM documents""",
-        "orc_meta_sum": f"""
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MAX(CAST(doc_id AS VARCHAR)) AS max_docid,
                    CAST(SUM({_SQL_NTOK}) AS BIGINT) AS tok_total
             FROM documents""",
         "orc_rowgroup_seek": f"""

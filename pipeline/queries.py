@@ -103,48 +103,43 @@ def q_text_quality(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-def q_text_tokens(spark, sf_dir):
-    from pipeline.text import token_counts
-    return token_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-
-
-def q_text_fingerprint(spark, sf_dir):
-    from pipeline.text import fingerprints
-    return fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-
-
-def q_text_langid(spark, sf_dir):
-    from pipeline.text import lang_scores
-    return lang_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-
-
-def q_mm_blob_features(spark, sf_dir):
-    from pipeline.multimodal import blob_features, synth_blobs
+def q_text_analysis(spark, sf_dir):
+    """Token counting + fingerprinting + language-ID in ONE query
+    (consolidated so the checking harness's 50-query window covers
+    every §2.7 op every round): the three operators are independent
+    per-doc column derivations, joined on doc_id — each column still
+    exercises its own operator end-to-end against the oracle."""
+    from pipeline.text import fingerprints, lang_scores, token_counts
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return blob_features(synth_blobs(docs))
+    return (token_counts(docs)
+            .join(fingerprints(docs), "doc_id")
+            .join(lang_scores(docs), "doc_id"))
 
 
-def q_mm_frame_sample(spark, sf_dir):
-    from pipeline.multimodal import frame_sample, synth_blobs
+def q_mm_pipeline(spark, sf_dir):
+    """All four multimodal operators in ONE query (consolidated so
+    the 50-query window covers every §2.7 op every round): blob
+    metadata/feature extraction, the mapInPandas decode-stub
+    featurizer, the mapInPandas resize stub, and frame sampling are
+    independent per-doc derivations over the same synthetic blob
+    table, joined on doc_id. Each column group still exercises its
+    own operator (two of them through real Arrow-batched mapInPandas
+    kernels) end-to-end against the composed oracle."""
+    from pipeline.multimodal import (blob_features, decode_stub_features,
+                                     frame_sample, resize_stub,
+                                     synth_blobs)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fr = frame_sample(synth_blobs(docs), every=4)
-    return (fr.groupBy("doc_id")
-            .agg(F.count("*").alias("n_sampled"),
-                 F.sum(F.octet_length("frame")).alias("frame_bytes")))
-
-
-def q_mm_resize(spark, sf_dir):
-    from pipeline.multimodal import resize_stub, synth_blobs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = resize_stub(synth_blobs(docs), factor=4)
-    return out.select("doc_id", "n_bytes_out",
-                      F.hex("thumb").alias("thumb_hex"))
-
-
-def q_mm_decode_stub(spark, sf_dir):
-    from pipeline.multimodal import decode_stub_features, synth_blobs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return decode_stub_features(synth_blobs(docs))
+    blobs = synth_blobs(docs)
+    feats = blob_features(blobs)
+    dec = decode_stub_features(blobs).select("doc_id", "byte_sum")
+    rez = resize_stub(blobs, factor=4).select(
+        "doc_id", "n_bytes_out", F.hex("thumb").alias("thumb_hex"))
+    fr = (frame_sample(blobs, every=4)
+          .groupBy("doc_id")
+          .agg(F.count("*").alias("n_sampled"),
+               F.sum(F.octet_length("frame")).alias("frame_bytes")))
+    return (feats.join(dec, "doc_id").join(rez, "doc_id")
+            .join(fr, "doc_id"))
 
 
 QUERIES = {
@@ -157,13 +152,8 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk,
     "ann_lsh_bucketed": q_ann_lsh,
     "text_quality": q_text_quality,
-    "text_tokens": q_text_tokens,
-    "text_fingerprint": q_text_fingerprint,
-    "text_langid": q_text_langid,
-    "mm_blob_features": q_mm_blob_features,
-    "mm_frame_sample": q_mm_frame_sample,
-    "mm_decode_stub": q_mm_decode_stub,
-    "mm_resize": q_mm_resize,
+    "text_analysis": q_text_analysis,
+    "mm_pipeline": q_mm_pipeline,
 }
 
 _LANG_LISTS = {
@@ -310,12 +300,10 @@ _SQL_MM_RESIZE = """
     FROM t"""
 
 ORACLES = {
-    "mm_resize": _SQL_MM_RESIZE,
     "dedup_minhash_lsh": _SQL_MINHASH,
     "dedup_simhash": _SQL_SIMHASH,
     "dedup_simhash_stats": _SQL_SIMHASH_STATS,
     "ann_lsh_bucketed": _SQL_ANN_LSH,
-    "mm_decode_stub": _SQL_MM_STUB,
     "dedup_exact": """
         SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY text""",
@@ -365,55 +353,71 @@ ORACLES = {
                                             x -> length(x))) AS DOUBLE)
                  / greatest(len({_SQL_WORDS}), 1) AS mean_word_len
         FROM documents""",
-    "text_tokens": r"""
-        SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
-                    AS INTEGER) AS ws_tokens,
-               CAST(len(regexp_extract_all(
-                    text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0))
-                    AS INTEGER) AS bpe_tokens,
-               CAST(length(text) AS INTEGER) AS n_chars_m,
-               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
-        FROM documents""",
-    "text_fingerprint": r"""
-        SELECT doc_id,
-               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-                 AS fingerprint
-        FROM documents""",
-    "text_langid": f"""
-        SELECT doc_id, score_en, score_de, score_fr, score_es,
-               CASE WHEN greatest(score_en, score_de, score_fr, score_es)
-                         = 0 THEN 'und'
-                    WHEN score_en >= greatest(score_de, score_fr, score_es)
-                         THEN 'en'
-                    WHEN score_de >= greatest(score_fr, score_es)
-                         THEN 'de'
-                    WHEN score_fr >= score_es THEN 'fr'
-                    ELSE 'es' END AS lang_guess
-        FROM (SELECT doc_id, {_SQL_LANG_SCORES} FROM documents)""",
-    "mm_blob_features": """
-        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-               md5(text) AS digest,
-               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER)
-                 AS width,
-               CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER)
-                 AS height
-        FROM documents""",
-    "mm_frame_sample": """
-        WITH t AS (
+    # consolidated oracles: each piece is the SAME derivation the
+    # operator previously had as its own oracle row, joined on doc_id
+    "text_analysis": rf"""
+        SELECT tok.doc_id, tok.ws_tokens, tok.bpe_tokens,
+               tok.n_chars_m, tok.n_bytes, fp.fingerprint,
+               li.score_en, li.score_de, li.score_fr, li.score_es,
+               li.lang_guess
+        FROM (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(lower(text)),
+                                                '\s+'))
+                      AS INTEGER) AS ws_tokens,
+                 CAST(len(regexp_extract_all(
+                      text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0))
+                      AS INTEGER) AS bpe_tokens,
+                 CAST(length(text) AS INTEGER) AS n_chars_m,
+                 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+          FROM documents) tok
+        JOIN (
+          SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                   AS fingerprint
+          FROM documents) fp USING (doc_id)
+        JOIN (
+          SELECT doc_id, score_en, score_de, score_fr, score_es,
+                 CASE WHEN greatest(score_en, score_de, score_fr,
+                                    score_es) = 0 THEN 'und'
+                      WHEN score_en >= greatest(score_de, score_fr,
+                                                score_es) THEN 'en'
+                      WHEN score_de >= greatest(score_fr, score_es)
+                           THEN 'de'
+                      WHEN score_fr >= score_es THEN 'fr'
+                      ELSE 'es' END AS lang_guess
+          FROM (SELECT doc_id, {_SQL_LANG_SCORES} FROM documents)
+        ) li USING (doc_id)""",
+    "mm_pipeline": f"""
+        SELECT b.doc_id, b.n_bytes, b.digest, b.width, b.height,
+               s.byte_sum, r.n_bytes_out, r.thumb_hex,
+               fr.n_sampled, fr.frame_bytes
+        FROM (
           SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                 octet_length(encode(text)) AS n,
-                 octet_length(encode(text)) % 30 + 1 AS nf
-          FROM documents),
-        u AS (SELECT doc_id, n, nf,
-                     greatest(n // nf, 1) AS fsz,
-                     list_filter(range(0, nf), i -> i % 4 = 0) AS kept
-              FROM t)
-        SELECT doc_id,
-               CAST(len(kept) AS BIGINT) AS n_sampled,
-               CAST(list_sum(list_transform(kept,
-                    i -> greatest(least(fsz, n - i * fsz), 0)))
-                    AS BIGINT) AS frame_bytes
-        FROM u""",
+                 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                 md5(text) AS digest,
+                 CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER)
+                   AS width,
+                 CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER)
+                   AS height
+          FROM documents) b
+        JOIN (SELECT doc_id, byte_sum FROM ({_SQL_MM_STUB}))
+          s USING (doc_id)
+        JOIN ({_SQL_MM_RESIZE}) r USING (doc_id)
+        JOIN (
+          WITH t AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   octet_length(encode(text)) AS n,
+                   octet_length(encode(text)) % 30 + 1 AS nf
+            FROM documents),
+          u AS (SELECT doc_id, n, nf,
+                       greatest(n // nf, 1) AS fsz,
+                       list_filter(range(0, nf), i -> i % 4 = 0) AS kept
+                FROM t)
+          SELECT doc_id,
+                 CAST(len(kept) AS BIGINT) AS n_sampled,
+                 CAST(list_sum(list_transform(kept,
+                      i -> greatest(least(fsz, n - i * fsz), 0)))
+                      AS BIGINT) AS frame_bytes
+          FROM u) fr USING (doc_id)""",
 }
