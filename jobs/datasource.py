@@ -22,8 +22,9 @@ What Spark's planner hands the source is used the way a native DSv2
 source would:
 
 * **Filter pushdown** — ``pushFilters`` receives Catalyst's
-  translated predicates (EqualTo/GreaterThan/.../In, nested columns
-  as dotted paths) and forwards the representable conjuncts to the
+  translated predicates (EqualTo/GreaterThan/.../In, IsNull/IsNotNull
+  — which Catalyst attaches to nearly every comparison — and nested
+  columns as dotted paths) and forwards the representable conjuncts to the
   engine's THREE pruning tiers (planning-time stripe statistics,
   per-row-group statistics + bloom filters, ROW_INDEX seek —
   jobs/orc_read.py docstring). Every filter is returned to Spark as
@@ -81,14 +82,16 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
     EqualTo,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -103,6 +106,11 @@ _FILTER_OPS = {
     LessThanOrEqual: "<=",
     In: "in",
 }
+# valueless predicates: Catalyst emits IsNotNull alongside nearly
+# every comparison, and the hasNull/numberOfValues slots in
+# ColumnStatistics prune them at the stripe and row-group tiers
+# (engine.orc_read._stats_may_match)
+_NULLNESS_OPS = {IsNull: "is_null", IsNotNull: "not_null"}
 
 
 def register(spark, enable_pushdown: bool = False) -> None:
@@ -125,10 +133,14 @@ def _to_engine_filters(filters: Sequence[Filter]) -> list[tuple]:
     for exact re-evaluation, so skipping one only costs pruning."""
     out = []
     for f in filters:
+        col = ".".join(f.attribute)  # nested fields prune on their own stats
+        nop = _NULLNESS_OPS.get(type(f))
+        if nop is not None:
+            out.append((col, nop, None))
+            continue
         op = _FILTER_OPS.get(type(f))
         if op is None:
             continue
-        col = ".".join(f.attribute)  # nested fields prune on their own stats
         val = tuple(f.value) if op == "in" else f.value
         out.append((col, op, val))
     return out
@@ -162,8 +174,10 @@ class OrcEngineDataSource(DataSource):
     (true: read exactly the ``_SUCCESS``-committed snapshot instead
     of the directory listing — stragglers and in-progress jobs in the
     same directory are invisible), ``filters`` (JSON conjunction of
-    ``[column, op, literal]`` triples, ops ``= < <= > >= in``;
-    nested fields as dotted paths). Explicit ``filters`` prune
+    ``[column, op, literal]`` triples, ops ``= < <= > >= in`` plus the
+    valueless ``is_null`` / ``not_null`` — those prune via the
+    hasNull/numberOfValues ColumnStatistics slots; nested fields as
+    dotted paths). Explicit ``filters`` prune
     stripes/row-groups like pushed filters do, but live on THIS
     load()'s options — no global pushdown conf, no plan-reuse hazard
     — and are re-applied EXACTLY on the decoded batches inside
@@ -235,10 +249,14 @@ def _parse_option_filters(options) -> list[tuple]:
     spec = json.loads(raw)
     out = []
     for item in spec:
-        col, op, val = item
-        if op not in ("=", "==", "<", "<=", ">", ">=", "in"):
+        col, op = item[0], item[1]
+        val = item[2] if len(item) > 2 else None
+        if op in ("is_null", "not_null"):
+            out.append((col, op, None))
+        elif op in ("=", "==", "<", "<=", ">", ">=", "in"):
+            out.append((col, op, tuple(val) if op == "in" else val))
+        else:
             raise ValueError(f"filters option: unsupported op {op!r}")
-        out.append((col, op, tuple(val) if op == "in" else val))
     return out
 
 
@@ -251,7 +269,11 @@ def _apply_filters_exact(tbl, filters: list[tuple]):
     for col, op, val in filters:
         arr = tbl.column(col) if "." not in col else pc.struct_field(
             tbl.column(col.split(".")[0]), col.split(".")[1:])
-        if op in ("=", "=="):
+        if op == "is_null":
+            m = pc.is_null(arr)
+        elif op == "not_null":
+            m = pc.is_valid(arr)
+        elif op in ("=", "=="):
             m = pc.equal(arr, val)
         elif op == "<":
             m = pc.less(arr, val)
@@ -369,14 +391,19 @@ def _read_split(partition: OrcInputPartition, schema: StructType,
             f"{names}; set merge_schema=true to null-fill columns "
             "this file predates")
     # an option filter may reference a non-projected column: decode
-    # its top-level root too, filter exactly, then drop it
-    roots = [f[0] if f[0] in got else f[0].split(".")[0]
-             for f in exact_filters]
-    if any(r not in got for r in roots):
-        # the file predates a filtered column: its value is null for
-        # every row, and a null comparison never matches
+    # its top-level root too, filter exactly, then drop it. A filter
+    # on a column the file PREDATES sees null for every row: is_null
+    # is vacuously true (drop the conjunct), everything else —
+    # comparisons AND not_null — matches no row (empty split).
+    absent_col = [f for f in exact_filters
+                  if (f[0] if f[0] in got else f[0].split(".")[0])
+                  not in got]
+    if any(f[1] != "is_null" for f in absent_col):
         yield from target.empty_table().to_batches()
         return
+    exact_filters = [f for f in exact_filters if f not in absent_col]
+    roots = [f[0] if f[0] in got else f[0].split(".")[0]
+             for f in exact_filters]
     # dict.fromkeys: two filters on one non-projected column (the
     # classic range filter lo <= c <= hi) must add its root ONCE — a
     # duplicated projection column makes tbl.column() ambiguous
@@ -575,11 +602,17 @@ class OrcEngineStreamReader(DataSourceStreamReader):
         self._served = end
 
 
-class OrcEngineStreamWriter(DataSourceStreamWriter):
+class OrcEngineStreamWriter(DataSourceStreamArrowWriter):
     """``df.writeStream.format("orcx")``: one ORC part-file per task
     per epoch, committed with a per-epoch manifest (the streaming twin
     of the batch commit protocol; exactly-once per epoch via
-    tmp+rename and the manifest listing only committed files)."""
+    tmp+rename and the manifest listing only committed files).
+
+    Arrow-native (DataSourceStreamArrowWriter, Spark 4.1): tasks hand
+    this writer pyarrow RecordBatches directly — symmetrical with the
+    batch DataSourceArrowWriter — so rows never pass through Python
+    objects (the pre-4.1-API Row path rebuilt every value as a Python
+    object and re-inferred Arrow types from them)."""
 
     def __init__(self, path: str, options, schema: StructType):
         self._dir = path
@@ -588,20 +621,8 @@ class OrcEngineStreamWriter(DataSourceStreamWriter):
         os.makedirs(path, exist_ok=True)
 
     def write(self, iterator: Iterator) -> Optional[OrcCommitMessage]:
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        # stream writers receive Rows; regroup into Arrow AT THE
-        # DECLARED SCHEMA (from_pandas inference would drift types —
-        # array<int32> becomes list<int64>) before the engine writer
-        rows = list(iterator)
-        if not rows:
-            return None
-        target = to_arrow_schema(self._schema)
-        tbl = pa.Table.from_pylist(
-            [r.asDict(recursive=True) for r in rows], schema=target)
-        return _write_part(iter(tbl.to_batches()), self._dir,
-                           self._options, _task_part_name("stream"))
+        return _write_part(iterator, self._dir, self._options,
+                           _task_part_name("stream"))
 
     def commit(self, messages, batchId: int) -> None:
         done = [m for m in messages if m is not None]

@@ -459,3 +459,107 @@ def test_empty_directory_fails_loud_or_scans_empty(spark_ds, tmp_path):
     df = (spark_ds.read.format("orcx")
           .schema("doc_id string, n_tok int").load(d))
     assert df.count() == 0
+
+
+@pytest.fixture(scope="module")
+def nullness_dirs(spark_ds, tmp_path_factory):
+    """Per writer (engine write_orc + orc-core spark.write.orc): one
+    directory whose stripes split cleanly into all-null and no-null
+    cohorts of a nullable column."""
+    n = 4000
+    vals = [None] * (n // 2) + list(range(n // 2))
+    dirs = {}
+    d_eng = str(tmp_path_factory.mktemp("nulls_engine"))
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
+        "v": pa.array(vals, type=pa.int64())})
+    write_orc(tbl, os.path.join(d_eng, "part.orc"), stripe_rows=1000,
+              row_index_stride=500)
+    dirs["engine"] = d_eng
+    d_java = str(tmp_path_factory.mktemp("nulls_java"))
+    sdf = spark_ds.createDataFrame(
+        [(f"d{i:05d}", v) for i, v in enumerate(vals)],
+        "doc_id string, v long")
+    # coalesce(1) + ordered input -> orc-core writes one file; it
+    # packs everything into one stripe at this size — stripe-tier
+    # pruning is then all-or-nothing, and the ROW-GROUP tier (hasNull
+    # per RowIndexEntry, orc-core minimum stride 1000) does the
+    # skipping. Both tiers route through _stats_may_match.
+    (sdf.coalesce(1).write.mode("overwrite")
+     .option("orc.stripe.size", "262144")
+     .option("orc.row.index.stride", "1000").orc(d_java))
+    dirs["java"] = d_java
+    return dirs
+
+
+@pytest.mark.parametrize("writer", ["engine", "java"])
+def test_nullness_pushdown_prunes_stripes(spark_ds, nullness_dirs,
+                                          writer):
+    """IsNull/IsNotNull prune via the hasNull/numberOfValues stats
+    slots: an all-null stripe is skipped for not_null, a no-null
+    stripe for is_null — and the results stay exact for both the
+    engine-written and the orc-core-written layout."""
+    import json as _json
+    from engine.orc_read import read_orc_tail, stripes_matching
+    d = nullness_dirs[writer]
+    f = [os.path.join(d, p) for p in sorted(os.listdir(d))
+         if p.endswith(".orc")][0]
+    info = read_orc_tail(f)
+    keep_nn = stripes_matching(info, [("v", "not_null", None)])
+    keep_in = stripes_matching(info, [("v", "is_null", None)])
+    n_stripes = len(info.stripes)
+    if n_stripes > 1:
+        # engine layout: 100-row stripes, half all-null half no-null
+        assert len(keep_nn) < n_stripes and len(keep_in) < n_stripes
+        assert sorted(set(keep_nn) | set(keep_in)) == \
+            list(range(n_stripes))
+    # end-to-end through the orcx option-filter surface (exact)
+    base = spark_ds.read.format("orcx")
+    nn = (base.option("filters", _json.dumps([["v", "not_null"]]))
+          .load(d))
+    assert nn.count() == 2000 and nn.where("v IS NULL").count() == 0
+    base = spark_ds.read.format("orcx")
+    inl = (base.option("filters", _json.dumps([["v", "is_null"]]))
+           .load(d))
+    assert inl.count() == 2000 and inl.where("v IS NOT NULL").count() == 0
+
+
+def test_nullness_pushfilters_translation():
+    """Catalyst IsNull/IsNotNull reach the engine conjunction."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+    from jobs.datasource import _to_engine_filters
+    got = _to_engine_filters([IsNotNull(("v",)), IsNull(("m", "s"))])
+    assert got == [("v", "not_null", None), ("m.s", "is_null", None)]
+
+
+def test_nullness_pushdown_prunes_row_groups(spark_ds, nullness_dirs):
+    """Row-group tier: with one stripe per cohort boundary the
+    engine-written file's 50-row groups prune on RowIndexEntry
+    hasNull/numberOfValues through read_orc_dir's filters."""
+    from jobs.orc_read import read_orc_dir
+    d = nullness_dirs["engine"]
+    got = read_orc_dir(spark_ds, d, columns=["doc_id", "v"],
+                       filters=[("v", "not_null", None)])
+    assert got.count() == 2000
+    got = read_orc_dir(spark_ds, d, columns=["doc_id"],
+                       filters=[("v", "is_null", None)])
+    assert got.count() == 2000 and got.columns == ["doc_id"]
+
+
+def test_is_null_on_predated_column(spark_ds, tmp_path):
+    """A filter on a column the file PREDATES (merge_schema read):
+    is_null matches every row; not_null and comparisons match none."""
+    import json as _json
+    d = str(tmp_path / "evolved")
+    os.makedirs(d)
+    write_orc(pa.table({"doc_id": pa.array(["a", "b"])}),
+              os.path.join(d, "old.orc"))
+    base = (spark_ds.read.format("orcx")
+            .schema("doc_id string, v bigint")
+            .option("merge_schema", "true"))
+    assert (base.option("filters", _json.dumps([["v", "is_null"]]))
+            .load(d).count() == 2)
+    assert (base.option("filters", _json.dumps([["v", "not_null"]]))
+            .load(d).count() == 0)
+    assert (base.option("filters", _json.dumps([["v", ">=", 1]]))
+            .load(d).count() == 0)
