@@ -781,28 +781,72 @@ def _q_orc_meta_agg(spark, sf_dir):
     (engine/orc_file.py cross-stripe aggregation, including the
     IntegerStatistics sum slot: field 3, sint64, omitted on overflow
     per the spec convention, cross-impl pinned against ORC C++-written
-    sums in tests) parsed back by
+    sums in tests — and its float twin, the DoubleStatistics sum:
+    field 3, fixed64 double, omitted when non-finite) parsed back by
     engine.orc_read.OrcFileInfo.file_stats and distributed one
     tail-read per file (jobs/orc_read.read_orc_dir_stats). Zero
     stripe bytes are touched; at a million files this is the entire
-    cost of SELECT COUNT(*), MIN(x), MAX(x), SUM(x)."""
+    cost of SELECT COUNT(*), MIN(x), MAX(x), SUM(x). The derived
+    double (n_tok*0.25 + 1) is dyadic-exact, so the tails SUM equals
+    the oracle's bit-for-bit in any summation order."""
     import tempfile
 
     from jobs.orc_read import read_orc_dir_stats
     from jobs.orc_write import write_orc_dir
 
-    tok = _token_df(spark, sf_dir).repartition(4)
+    tok = (_token_df(spark, sf_dir)
+           .withColumn("score",
+                       F.col("n_tok").cast("double") * 0.25 + 1.0)
+           .repartition(4))
     out = tempfile.mkdtemp(prefix="orc_meta_agg_")
     write_orc_dir(tok, out).collect()
     st = read_orc_dir_stats(spark, out, ["n_tok", "doc_id"],
-                            sums=["n_tok"])
+                            sums=["n_tok", "score"])
     return st.agg(
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.min("min_n_tok").cast("int").alias("min_ntok"),
         F.max("max_n_tok").cast("int").alias("max_ntok"),
         F.min("min_doc_id").alias("min_docid"),
         F.max("max_doc_id").alias("max_docid"),
-        F.sum("sum_n_tok").cast("long").alias("tok_total"))
+        F.sum("sum_n_tok").cast("long").alias("tok_total"),
+        F.sum("sum_score").alias("score_total"))
+
+
+def _q_orc_schema_evolution(spark, sf_dir):
+    """Reader-side schema evolution (M6): one directory whose files
+    drift int32->int64 on n_tok AND add a column across generations
+    reads as a single table at the union-of-fields, widest-of-types
+    schema — ``merge_schemas=True`` probes every file tail
+    (jobs/orc_read.merged_orc_schema; the probe itself distributes as
+    a Spark job above 64 files), casts each file up task-side along
+    orc-core's ConvertTreeReader widening axes, and null-fills the
+    column the old generation predates. The evolution every
+    long-lived table hits: columns added, ints widened."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from jobs.orc_read import read_orc_dir
+    from jobs.orc_write import write_orc_dir
+
+    tok = _token_df(spark, sf_dir).select("doc_id", "n_tok")
+    gens = [
+        tok.where(F.col("n_tok") % 2 == 0).select(
+            "doc_id", F.col("n_tok").cast("int").alias("n_tok")),
+        tok.where(F.col("n_tok") % 2 == 1).select(
+            "doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+            F.lit(1).cast("long").alias("flag")),
+    ]
+    d = tempfile.mkdtemp(prefix="orc_evolve_")
+    for i, part in enumerate(gens):
+        sub = tempfile.mkdtemp(prefix=f"orc_evolve_g{i}_")
+        write_orc_dir(part.repartition(2), sub).collect()
+        for f in glob.glob(os.path.join(sub, "*.orc")):
+            shutil.move(f, os.path.join(
+                d, f"gen{i}-{os.path.basename(f)}"))
+    got = read_orc_dir(spark, d, merge_schemas=True)
+    return got.select("doc_id", "n_tok", "flag")
 
 
 def _q_orc_rowgroup_seek(spark, sf_dir):
@@ -1135,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tails-only COUNT/MIN/MAX/SUM (sum stats folded in, r4->r5)
         "orc_meta_agg": _q_orc_meta_agg,                  # M1
         "orc_rowgroup_seek": _q_orc_rowgroup_seek,        # M2 (files)
+        "orc_schema_evolution": _q_orc_schema_evolution,  # M6 widening
         # LZ4 chunk codec both directions (engine write -> orc-core
         # read; orc-core write -> engine read)
         "orc_lz4_interop": _q_orc_lz4_interop,            # C1 (lz4)
@@ -1294,7 +1339,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX({_SQL_NTOK}) AS INTEGER) AS max_ntok,
                    MIN(CAST(doc_id AS VARCHAR)) AS min_docid,
                    MAX(CAST(doc_id AS VARCHAR)) AS max_docid,
-                   CAST(SUM({_SQL_NTOK}) AS BIGINT) AS tok_total
+                   CAST(SUM({_SQL_NTOK}) AS BIGINT) AS tok_total,
+                   SUM(CAST({_SQL_NTOK} AS DOUBLE) * 0.25 + 1.0)
+                       AS score_total
+            FROM documents""",
+        "orc_schema_evolution": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST({_SQL_NTOK} AS BIGINT) AS n_tok,
+                   CASE WHEN {_SQL_NTOK} % 2 = 1
+                        THEN CAST(1 AS BIGINT) END AS flag
             FROM documents""",
         "orc_rowgroup_seek": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

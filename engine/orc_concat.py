@@ -45,7 +45,7 @@ import shutil
 
 from .orc_file import (MAGIC, STAT_DATE, STAT_DEC, STAT_DOUBLE, STAT_INT,
                        STAT_STRING, STAT_TS, _col_stats_pb, _frame,
-                       pb_bytes, pb_varint)
+                       _sum_ok, pb_bytes, pb_varint)
 from .orc_read import (COMP_NONE, K_BYTE, K_CHAR, K_DATE, K_DECIMAL,
                        K_DOUBLE, K_FLOAT, K_INT, K_LONG, K_SHORT,
                        K_STRING, K_TIMESTAMP, K_TIMESTAMP_INSTANT,
@@ -143,7 +143,8 @@ def _merge_file_stats(infos: list[OrcFileInfo]) -> list[bytes]:
         if fno is not None and not poisoned and mn is not None:
             if fno == STAT_DEC and not isinstance(mn, decimal.Decimal):
                 stat = None  # mismatched parse: stay conservative
-            elif fno == STAT_INT and have_sum and abs(total) < 2 ** 63:
+            elif fno in (STAT_INT, STAT_DOUBLE) and have_sum \
+                    and _sum_ok(fno, total):
                 stat = (fno, mn, mx, total)
             else:
                 stat = (fno, mn, mx)

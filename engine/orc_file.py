@@ -29,6 +29,8 @@ PRESENT streams (except union: Arrow unions carry no validity).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -97,9 +99,9 @@ STAT_DEC = 6  # DecimalStatistics: min/max as decimal strings
 
 def _stat_sub(stat) -> bytes:
     """(field_no, min, max[, sum]) -> typed min/max sub-message
-    bytes. The optional 4th slot is the IntegerStatistics sum
-    (field 3); None there means a writer-side overflow guard omitted
-    it."""
+    bytes. The optional 4th slot is the IntegerStatistics /
+    DoubleStatistics sum (field 3 in both); None there means a
+    writer-side overflow/non-finite guard omitted it."""
     fno, mn, mx = stat[0], stat[1], stat[2]
     if fno == STAT_INT or fno == STAT_DATE:
         body = pb_svarint(1, mn) + pb_svarint(2, mx)
@@ -107,6 +109,8 @@ def _stat_sub(stat) -> bytes:
             body += pb_svarint(3, stat[3])
     elif fno == STAT_DOUBLE:
         body = pb_double(1, mn) + pb_double(2, mx)
+        if len(stat) > 3 and stat[3] is not None:
+            body += pb_double(3, stat[3])
     elif fno == STAT_TS:
         # TimestampStatistics from epoch NANOS: minimum/maximum_utc
         # (fields 3/4) carry the millisecond floor, minimum/maximum_
@@ -453,16 +457,26 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
         streams.append((DATA, T.encode_floats(v, double=double).tobytes()))
         w = 8 if double else 4
         pos = [[int(s) * w] for s in vgb[:-1]]
-        # ORC writers omit double min/max when NaN is present
+        # ORC writers omit double min/max when NaN is present; the
+        # sum (DoubleStatistics field 3) rides along when finite —
+        # an inf/NaN sum would poison SUM-from-tails, so it is
+        # omitted like the integer overflow convention
         stat = None
-        if nv and not np.isnan(mn := float(v.min())):
-            stat = (STAT_DOUBLE, mn, float(v.max()))
-        stat_g = None
-        if index:
-            stat_g = [
-                (STAT_DOUBLE, float(v[s:e].min()), float(v[s:e].max()))
-                if e > s and not np.isnan(v[s:e].min()) else None
-                for s, e in zip(vgb[:-1], vgb[1:])]
+        with np.errstate(over="ignore"):   # inf sum -> omitted slot
+            if nv and not np.isnan(mn := float(v.min())):
+                stat = (STAT_DOUBLE, mn, float(v.max()),
+                        sm if np.isfinite(
+                            sm := float(np.sum(v, dtype=np.float64)))
+                        else None)
+            stat_g = None
+            if index:
+                stat_g = [
+                    (STAT_DOUBLE, float(v[s:e].min()),
+                     float(v[s:e].max()),
+                     gs if np.isfinite(gs := float(
+                         np.sum(v[s:e], dtype=np.float64))) else None)
+                    if e > s and not np.isnan(v[s:e].min()) else None
+                    for s, e in zip(vgb[:-1], vgb[1:])]
         return done(K_DOUBLE if double else K_FLOAT, ENC_DIRECT,
                     pos=pos, stat=stat, stat_g=stat_g)
     if pa.types.is_date32(t):
@@ -582,9 +596,18 @@ def _agg_stats(stat_g: list) -> tuple | None:
     mx = max(s[2] for s in present)
     if all(len(s) > 3 and s[3] is not None for s in present):
         total = sum(s[3] for s in present)
-        if abs(total) < 2 ** 63:
+        if _sum_ok(fno, total):
             return (fno, mn, mx, total)
     return (fno, mn, mx)
+
+
+def _sum_ok(fno: int, total) -> bool:
+    """May an aggregated sum be emitted? int64 range for
+    IntegerStatistics, finite for DoubleStatistics — the respective
+    omit-on-overflow conventions."""
+    if fno == STAT_DOUBLE:
+        return math.isfinite(total)
+    return abs(total) < 2 ** 63
 
 
 def _flatten(col: _Col, out: list[_Col]) -> None:
@@ -923,7 +946,7 @@ def write_orc(table: pa.Table, path: str,
                     # file sum only if every stripe carried one
                     if len(prev) > 3 and prev[3] is not None \
                             and len(c.stat) > 3 and c.stat[3] is not None \
-                            and abs(prev[3] + c.stat[3]) < 2 ** 63:
+                            and _sum_ok(prev[0], prev[3] + c.stat[3]):
                         merged += (prev[3] + c.stat[3],)
                     agg_stat[i] = merged
         metadata += pb_bytes(1, b"".join(

@@ -358,6 +358,8 @@ def _parse_col_stats(v) -> dict:
                 if f3 in (1, 2) and w3 == 1:
                     d["min" if f3 == 1 else "max"] = \
                         struct.unpack("<d", v3)[0]
+                elif f3 == 3 and w3 == 1:   # sum (field 3, double)
+                    d["sum"] = struct.unpack("<d", v3)[0]
         elif f2 == 4:       # StringStatistics
             for f3, w3, v3 in _fields(v2):
                 if f3 in (1, 2) and w3 == 2:

@@ -34,9 +34,16 @@ source would:
   only the ~KB file tails, drops statistics-precluded stripes, and
   bins surviving stripes into splits of ``split_mb`` (default 64 MB)
   so a thousand-stripe file fans out across the cluster while tiny
-  files don't each cost a task. (Tail reads are threaded driver-side
-  I/O here; the mapInArrow twin jobs/orc_read.plan_orc_splits does
-  the same planning distributed when the file count demands it.)
+  files don't each cost a task. Tail reads are threaded driver-side
+  I/O up to ``distributed_planning_threshold`` files (default 4096);
+  past it (or with ``distributed_planning=true``) the driver plans
+  byte-range splits from file SIZES alone — zero tail I/O — and each
+  task resolves + statistics-prunes its own range's stripes
+  (``OrcRangePartition``), so a million-file listing plans at
+  os.stat speed and prunes on the executors. (DSv2 ``partitions()``
+  runs in Spark's planning worker, which has no SparkSession — the
+  scalable move is deferring tail reads to ``read()``, not
+  distributing them from the driver.)
 * **Column pruning** — the reader decodes only the fields of the
   schema Spark passes (pass ``.schema(...)`` or ``columns`` to
   project); unprojected columns' stream bytes are never read
@@ -154,6 +161,20 @@ class OrcInputPartition(InputPartition):
 
 
 @dataclass
+class OrcRangePartition(InputPartition):
+    """One distributed-planning split: a byte range [start, end) of
+    one file, planned from the directory listing's file sizes ALONE —
+    zero tail reads on the driver. The task owns the stripes whose
+    StripeInformation.offset falls inside its range (the parquet/Hive
+    split-assignment convention), resolves them from the ~KB tail it
+    reads itself, and prunes statistics-precluded stripes there, so
+    both planning I/O and pruning CPU scale with the executors."""
+    path: str
+    start: int
+    end: int
+
+
+@dataclass
 class OrcCommitMessage(WriterCommitMessage):
     path: str
     n_rows: int
@@ -166,8 +187,17 @@ class OrcEngineDataSource(DataSource):
     Read options: ``path`` (file or directory), ``columns``
     (comma-separated projection; or pass ``.schema(...)``),
     ``convention`` (pre-1970 timestamp convention, default per-file),
-    ``merge_schema`` (true: null-fill columns a file predates),
-    ``split_mb`` (target split size, default 64), ``pushdown``
+    ``merge_schema`` (true: resolve the scan schema from EVERY file
+    tail — union of fields, widest of types along orc-core's
+    ConvertTreeReader widening axes int8→int16→int32→int64 and
+    float→double; files are cast up per task, columns a file
+    predates null-fill),
+    ``split_mb`` (target split size, default 64),
+    ``distributed_planning`` (``auto``/``true``/``false``, default
+    auto: above ``distributed_planning_threshold`` files — default
+    4096 — plan byte-range splits from file sizes with zero driver
+    tail reads; tasks resolve and prune their own stripes),
+    ``pushdown``
     (true: Catalyst filter pushdown via pushFilters — requires the
     session conf register(spark, enable_pushdown=True) sets, and see
     the plan-reuse caveat), ``use_manifest``
@@ -205,8 +235,18 @@ class OrcEngineDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         use_m = self.options.get("use_manifest", "false").lower() == "true"
-        arrow = read_orc_tail(
-            list_orc_files(self._path(), use_manifest=use_m)[0]).schema()
+        files = list_orc_files(self._path(), use_manifest=use_m)
+        if self.options.get("merge_schema", "false").lower() == "true":
+            # probe EVERY tail: union-of-fields, widest-of-types
+            # (int widening + float->double, orc-core
+            # ConvertTreeReader semantics). Threaded here — DSv2
+            # schema() runs in the planning worker, which has no
+            # SparkSession to distribute through; the per-file cast
+            # up to this schema happens task-side in _read_split.
+            from jobs.orc_read import merged_orc_schema
+            arrow = merged_orc_schema(files, spark=None)
+        else:
+            arrow = read_orc_tail(files[0]).schema()
         cols = self.options.get("columns")
         if cols:
             names = [c.strip() for c in cols.split(",") if c.strip()]
@@ -319,6 +359,26 @@ class OrcEngineReader(DataSourceReader):
             return [OrcInputPartition("", ())]
         target = int(float(self._options.get("split_mb", "64")) * (1 << 20))
 
+        # distributed planning: above the threshold (or forced by the
+        # option) the driver stops reading tails entirely — it bins
+        # each file into split_mb byte ranges from its SIZE (an
+        # os.stat per file, no I/O on file bytes) and defers stripe
+        # resolution + statistics pruning to the tasks. DSv2
+        # partitions() runs in Spark's planning worker where no
+        # SparkSession exists, so "distribute the tail reads" can
+        # only mean "move them into read()" — which also prunes in
+        # parallel, unlike any driver-side plan.
+        dp = self._options.get("distributed_planning", "auto").lower()
+        dp_thresh = int(self._options.get(
+            "distributed_planning_threshold", "4096"))
+        if dp == "true" or (dp == "auto" and len(files) > dp_thresh):
+            out = []
+            for p in files:
+                size = os.path.getsize(p)
+                for s in range(0, max(size, 1), target):
+                    out.append(OrcRangePartition(p, s, s + target))
+            return out or [OrcInputPartition(files[0], ())]
+
         def plan(p: str) -> list[OrcInputPartition]:
             info = read_orc_tail(p)
             keep = stripes_matching(info, self._all_filters() or None)
@@ -342,9 +402,14 @@ class OrcEngineReader(DataSourceReader):
         return out or [OrcInputPartition(files[0], ())]
 
     def read(self, partition: OrcInputPartition) -> Iterator:
+        info = None
+        if isinstance(partition, OrcRangePartition):
+            partition, info = _resolve_range(partition,
+                                             self._all_filters())
         yield from _read_split(partition, self._schema, self._options,
                                self._all_filters(),
-                               exact_filters=self._opt_filters)
+                               exact_filters=self._opt_filters,
+                               info=info)
 
 
 class OrcEnginePushdownReader(OrcEngineReader):
@@ -362,9 +427,27 @@ class OrcEnginePushdownReader(OrcEngineReader):
         return filters
 
 
+def _resolve_range(partition: OrcRangePartition,
+                   filters: list[tuple]) -> OrcInputPartition:
+    """Task-side half of distributed planning: read the ~KB tail,
+    claim the stripes whose offset lies in [start, end), drop the
+    statistics-precluded ones (the same stripes_matching tier the
+    driver-side planner applies), and hand the equivalent stripe
+    split (plus the parsed tail, so the decode reads it once) to
+    _read_split."""
+    from engine.orc_read import read_orc_tail, stripes_matching
+    info = read_orc_tail(partition.path)
+    keep = set(stripes_matching(info, filters or None))
+    stripes = tuple(
+        i for i, si in enumerate(info.stripes)
+        if i in keep and partition.start <= si[1] < partition.end)
+    return OrcInputPartition(partition.path, stripes), info
+
+
 def _read_split(partition: OrcInputPartition, schema: StructType,
                 options, filters: list[tuple],
-                exact_filters: list[tuple] = ()) -> Iterator:
+                exact_filters: list[tuple] = (),
+                info=None) -> Iterator:
     """Task-side split decode shared by the batch and stream readers:
     engine stripe-range read (``filters`` prune row groups as a
     superset) -> (optional) schema-evolution null-fill -> EXACT
@@ -381,7 +464,8 @@ def _read_split(partition: OrcInputPartition, schema: StructType,
         yield from target.empty_table().to_batches()
         return
     merge = options.get("merge_schema", "false").lower() == "true"
-    info = read_orc_tail(partition.path)
+    if info is None:
+        info = read_orc_tail(partition.path)
     names = list(target.names)
     got = info.types[0].field_names
     absent = [c for c in names if c not in got]

@@ -83,6 +83,86 @@ def list_orc_files(path: str, use_manifest: bool = False) -> list[str]:
     return found
 
 
+_INT_RANK = {8: 0, 16: 1, 32: 2, 64: 3}  # bit width; ORC ints are signed
+
+
+def _widen_type(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    """The wider of two ORC-file types along orc-core's
+    ConvertTreeReader widening axes — int8→int16→int32→int64 and
+    float→double — recursing through list/struct shapes. Anything
+    else (string vs int, narrowing would lose rows) raises: a mixed
+    directory that far gone needs an explicit rewrite, not a guess."""
+    if a.equals(b):
+        return a
+    if pa.types.is_integer(a) and pa.types.is_integer(b):
+        return a if _INT_RANK[a.bit_width] >= _INT_RANK[b.bit_width] \
+            else b
+    if pa.types.is_floating(a) and pa.types.is_floating(b):
+        return a if a == pa.float64() else b
+    if pa.types.is_large_list(a) and pa.types.is_large_list(b):
+        return pa.large_list(_widen_type(a.value_type, b.value_type))
+    if pa.types.is_struct(a) and pa.types.is_struct(b) and \
+            [f.name for f in a] == [f.name for f in b]:
+        return pa.struct([
+            pa.field(f.name, _widen_type(f.type, b.field(i).type))
+            for i, f in enumerate(a)])
+    raise ValueError(f"ORC schema drift {a} vs {b} is not a widening")
+
+
+def merged_orc_schema(files: list[str],
+                      spark: SparkSession | None = None,
+                      distributed_threshold: int = 64) -> pa.Schema:
+    """The union-of-fields, widest-of-types Arrow schema across a
+    directory's file tails — the reference schema an evolving job's
+    directory needs (columns added over time, int32 columns widened
+    to int64, float to double; orc-core ConvertTreeReader semantics).
+    Field order is first-seen. Probing reads only the ~KB tails:
+    threaded driver-side below ``distributed_threshold`` files, as a
+    one-stage Spark job above it (one tail read per task row, tiny
+    serialized schemas back to the driver) so a million-file listing
+    never serializes through driver threads."""
+    from engine.orc_read import read_orc_tail
+    if spark is not None and len(files) > distributed_threshold:
+        paths = spark.createDataFrame([(f,) for f in files],
+                                      "path string")
+        n_plan = max(1, min(len(files),
+                            spark.sparkContext.defaultParallelism))
+
+        def tails(batches):
+            import pyarrow as pa
+
+            from engine.orc_read import read_orc_tail
+            for batch in batches:
+                for p in batch.column("path").to_pylist():
+                    buf = read_orc_tail(p).schema().serialize()
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([buf.to_pybytes()],
+                                  type=pa.large_binary())],
+                        names=["schema"])
+
+        rows = (paths.repartition(n_plan)
+                .mapInArrow(tails, "schema binary").collect())
+        schemas = [pa.ipc.read_schema(pa.py_buffer(bytes(r["schema"])))
+                   for r in rows]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+            schemas = list(ex.map(
+                lambda p: read_orc_tail(p).schema(), files))
+    fields: dict[str, pa.DataType] = {}
+    for sch in schemas:
+        for f in sch:
+            if f.name in fields:
+                try:
+                    fields[f.name] = _widen_type(fields[f.name], f.type)
+                except (ValueError, KeyError) as e:
+                    raise ValueError(
+                        f"column {f.name!r} across this directory: {e}")
+            else:
+                fields[f.name] = f.type
+    return pa.schema(list(fields.items()))
+
+
 def plan_orc_splits(spark: SparkSession, files: list[str],
                     filters: list[tuple] | None = None) -> DataFrame:
     """Stage 1: distributed tail reads -> one row per stripe that MAY
@@ -129,10 +209,13 @@ def read_orc_dir_stats(spark: SparkSession, path: str,
     without footer statistics yields typed nulls for min/max (its
     n_rows still counts).
 
-    ``sums``: integer columns to additionally surface the footer
-    IntegerStatistics sum for (``sum_<col>`` int64) — SUM over a
-    whole table from file tails alone. Null when a file's writer
-    omitted the sum (overflow convention, pre-sum writer).
+    ``sums``: integer or float columns to additionally surface the
+    footer statistics sum for (``sum_<col>``: int64 from
+    IntegerStatistics, float64 from DoubleStatistics — field 3 of
+    both) — SUM over a whole table from file tails alone. Null when
+    a file's writer omitted the sum (int overflow / non-finite
+    float convention, pre-sum writer). Float sums are order-
+    dependent in the last ulp, exactly like any parallel SUM.
 
     ``use_manifest``: aggregate over the ``_SUCCESS``-committed
     snapshot instead of the listing (see list_orc_files)."""
@@ -162,11 +245,16 @@ def read_orc_dir_stats(spark: SparkSession, path: str,
         if i < 0:
             raise KeyError(f"column {c!r} not in ORC schema "
                            f"{schema.names}")
-        if not pa.types.is_integer(schema.field(i).type):
+        t = schema.field(i).type
+        if pa.types.is_integer(t):
+            fields.append(pa.field(f"sum_{c}", pa.int64()))
+        elif pa.types.is_floating(t):
+            fields.append(pa.field(f"sum_{c}", pa.float64()))
+        else:
             raise NotImplementedError(
-                f"tail-sum on column {c!r}: only integer columns "
-                "carry an IntegerStatistics sum")
-        fields.append(pa.field(f"sum_{c}", pa.int64()))
+                f"tail-sum on column {c!r}: only integer "
+                "(IntegerStatistics) and float (DoubleStatistics) "
+                "columns carry a footer sum")
     out_schema = pa.schema(fields)
     ddl = ", ".join(
         f"{f.name} {from_arrow_schema(pa.schema([f]))[0].dataType.simpleString()}"
@@ -215,8 +303,9 @@ def read_orc_dir_stats(spark: SparkSession, path: str,
                         fid = info.types[0].subtypes[j]
                         st = (fs[fid] if fs and fid < len(fs)
                               else {}) or {}
-                    arrs.append(pa.array([st.get("sum")],
-                                         type=pa.int64()))
+                    arrs.append(pa.array(
+                        [st.get("sum")],
+                        type=out_schema.field(f"sum_{c}").type))
                 yield pa.RecordBatch.from_arrays(
                     arrs, schema=out_schema)
 
@@ -229,7 +318,8 @@ def read_orc_dir(spark: SparkSession, path: str,
                  parallelism: int | None = None,
                  filters: list[tuple] | None = None,
                  allow_missing_columns: bool = False,
-                 use_manifest: bool = False) -> DataFrame:
+                 use_manifest: bool = False,
+                 merge_schemas: bool = False) -> DataFrame:
     """Read a directory of ORC files as a DataFrame with this
     engine's decoders. ``convention`` pins the pre-1970 timestamp
     convention (default: keyed per file off ``Footer.writer``,
@@ -242,6 +332,14 @@ def read_orc_dir(spark: SparkSession, path: str,
     where present; the driver-probed first tail is the reference, so
     point ``columns`` at the union schema (or probe the newest file
     first) when schemas differ.
+
+    ``merge_schemas``: probe EVERY tail and read at the
+    union-of-fields, widest-of-types schema (merged_orc_schema —
+    int8→int16→int32→int64 and float→double drift casts up per file,
+    orc-core ConvertTreeReader semantics; missing columns null-fill
+    as with allow_missing_columns). The probe distributes as a Spark
+    job above 64 files, so the driver never fans a huge listing
+    through threads.
 
     ``filters``: [(column, op, literal)] conjunction pushed down in
     THREE tiers — planning drops statistics-precluded stripes before
@@ -258,7 +356,11 @@ def read_orc_dir(spark: SparkSession, path: str,
     """
     files = list_orc_files(path, use_manifest=use_manifest)
     from engine.orc_read import read_orc_tail
-    arrow_schema = read_orc_tail(files[0]).schema()
+    if merge_schemas:
+        arrow_schema = merged_orc_schema(files, spark=spark)
+        allow_missing_columns = True
+    else:
+        arrow_schema = read_orc_tail(files[0]).schema()
     out_columns = columns
     if columns is not None and filters:
         # a nested filter column projects its top-level root struct

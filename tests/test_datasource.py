@@ -145,6 +145,79 @@ def test_merge_schema_null_fill(spark_ds, tmp_path):
     assert got == [(1, "x"), (2, "y"), (3, None)]
 
 
+def test_distributed_planning_parity(spark_ds, orc_dir):
+    """distributed_planning=true reads bit-identical rows through
+    byte-range splits (zero driver tail reads), with filters pruning
+    task-side; the auto threshold flips the same way."""
+    base = sorted(map(tuple, (spark_ds.read.format("orcx")
+                              .load(orc_dir).collect())))
+    for opts in ({"distributed_planning": "true"},
+                 {"distributed_planning": "true", "split_mb": "0.01"},
+                 {"distributed_planning_threshold": "1"}):
+        r = spark_ds.read.format("orcx")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        got = sorted(map(tuple, r.load(orc_dir).collect()))
+        assert got == base, opts
+    # filters still prune (and stay exact) through range splits
+    got = (spark_ds.read.format("orcx")
+           .option("distributed_planning", "true")
+           .option("split_mb", "0.01")
+           .option("filters", '[["n_tok", ">=", 1400]]')
+           .load(orc_dir).collect())
+    assert sorted(r["n_tok"] for r in got) == list(range(1400, 1500))
+
+
+def test_distributed_planning_partitions_are_ranges(orc_dir):
+    """The planner itself: range splits cover every file without a
+    single tail read, and each stripe lands in exactly one range."""
+    from jobs.datasource import (OrcEngineReader, OrcRangePartition,
+                                 _resolve_range)
+    reader = OrcEngineReader(orc_dir, None, {
+        "distributed_planning": "true", "split_mb": "0.01"})
+    parts = reader.partitions()
+    assert parts and all(isinstance(p, OrcRangePartition)
+                         for p in parts)
+    assert len(parts) > 3  # sub-file ranges, not one per file
+    # disjoint, size-covering ranges per file
+    from collections import defaultdict
+    per = defaultdict(list)
+    for p in parts:
+        per[p.path].append((p.start, p.end))
+    claimed = defaultdict(int)
+    for path, spans in per.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+        assert spans[-1][1] >= os.path.getsize(path)
+    for p in parts:
+        resolved, info = _resolve_range(p, [])
+        claimed[p.path] += len(resolved.stripes)
+    for path, n in claimed.items():
+        from engine.orc_read import read_orc_tail
+        assert n == len(read_orc_tail(path).stripes)
+
+
+def test_merge_schema_type_widening(spark_ds, tmp_path):
+    """merge_schema=true resolves int32->int64 / float32->float64
+    drift across files to the widest type without .schema(): the
+    probe unions every tail (merged_orc_schema), each file casts up
+    task-side."""
+    d = str(tmp_path / "drift")
+    os.makedirs(d)
+    write_orc(pa.table({"a": pa.array([1, 2], type=pa.int32()),
+                        "x": pa.array([0.5, 1.5], type=pa.float32())}),
+              os.path.join(d, "part-0.orc"))
+    write_orc(pa.table({"a": pa.array([3 * 10 ** 10], type=pa.int64()),
+                        "x": pa.array([2.5], type=pa.float64())}),
+              os.path.join(d, "part-1.orc"))
+    df = (spark_ds.read.format("orcx")
+          .option("merge_schema", "true").load(d))
+    assert dict(df.dtypes) == {"a": "bigint", "x": "double"}
+    got = sorted(map(tuple, df.collect()))
+    assert got == [(1, 0.5), (2, 1.5), (3 * 10 ** 10, 2.5)]
+
+
 def test_write_read_by_orc_core(spark_ds, orc_dir, tmp_path):
     out = str(tmp_path / "out")
     df = spark_ds.read.format("orcx").load(orc_dir)

@@ -887,6 +887,80 @@ def test_missing_column_filter_semantics(spark):
     assert kept.agg(F.max("id")).first()[0] == n - 1
 
 
+def _widened_dir():
+    """0_old.orc carries (id int32, x float32, s); 1_new.orc the same
+    columns widened (id int64, x float64) plus an added `extra` — the
+    added-column + type-drift directory merge_schemas targets. Values
+    (half-integers < 2^23) are float32-exact, so the upcast is
+    bit-lossless and equality assertions stay exact."""
+    d = tempfile.mkdtemp(prefix="widen_orc_")
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    orc.write_table(pa.table({
+        "id": pa.array(ids, pa.int32()),
+        "x": pa.array(ids * 0.5, pa.float32()),
+        "s": pa.array([f"old-{i}" for i in ids]),
+    }), os.path.join(d, "0_old.orc"))
+    orc.write_table(pa.table({
+        "id": pa.array(ids + n, pa.int64()),
+        "x": pa.array((ids + n) * 0.5, pa.float64()),
+        "s": pa.array([f"new-{i}" for i in ids]),
+        "extra": pa.array(ids * 2),
+    }), os.path.join(d, "1_new.orc"))
+    return d, n
+
+
+def test_type_widening_merged_schema(spark):
+    """merged_orc_schema resolves int32/int64 and float32/float64
+    drift to the widest type (orc-core ConvertTreeReader semantics),
+    identically through the threaded and the distributed probe; a
+    non-widening drift fails loud."""
+    from jobs.orc_read import list_orc_files, merged_orc_schema
+    d, n = _widened_dir()
+    files = list_orc_files(d)
+    sch = merged_orc_schema(files)
+    assert sch.field("id").type == pa.int64()
+    assert sch.field("x").type == pa.float64()
+    assert sch.field("extra").type == pa.int64()
+    # distributed probe (threshold forced below the file count)
+    sch2 = merged_orc_schema(files, spark=spark,
+                             distributed_threshold=1)
+    assert sch2.equals(sch)
+    # int vs string is not a widening — a directory that far gone
+    # needs a rewrite, not a guess
+    d2 = tempfile.mkdtemp(prefix="widen_bad_")
+    orc.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}),
+                    os.path.join(d2, "0.orc"))
+    orc.write_table(pa.table({"a": pa.array(["x"])}),
+                    os.path.join(d2, "1.orc"))
+    with pytest.raises(ValueError, match="not a widening"):
+        merged_orc_schema(list_orc_files(d2))
+
+
+def test_type_widening_read_orc_dir(spark):
+    """read_orc_dir(merge_schemas=True) reads an int32->int64 +
+    float32->float64 drifted directory at the widest schema, casting
+    each file up task-side; added columns null-fill."""
+    from pyspark.sql import functions as F
+
+    from jobs.orc_read import read_orc_dir
+    d, n = _widened_dir()
+    got = read_orc_dir(spark, d, merge_schemas=True)
+    dts = dict(got.dtypes)
+    assert dts["id"] == "bigint" and dts["x"] == "double"
+    assert got.count() == 2 * n
+    agg = got.agg(F.sum("id").alias("si"), F.sum("x").alias("sx"),
+                  F.count(F.col("extra")).alias("ne")).collect()[0]
+    want_id = 2 * n * (2 * n - 1) // 2
+    assert agg.si == want_id
+    assert agg.sx == want_id * 0.5
+    assert agg.ne == n
+    # filters still prune through the widened read
+    hit = read_orc_dir(spark, d, merge_schemas=True,
+                       filters=[("id", ">=", 2 * n - 10)])
+    assert hit.count() == 10
+
+
 def test_lzo_orc_read_java_writer(spark):
     """orc-core (aircompressor) LZO files — the engine's pure-Python
     LZO1X block decoder (engine/lzo.py) reads them bit-identically,
@@ -1391,6 +1465,75 @@ def test_sum_statistics_end_to_end(spark):
               os.path.join(d_str, "part-0.orc"))
     with pytest.raises(NotImplementedError):
         read_orc_dir_stats(spark, d_str, ["s"], sums=["s"])
+
+
+def test_double_sum_statistics_end_to_end(spark):
+    """DoubleStatistics sums (field 3, fixed64 double — the float
+    twin of the IntegerStatistics sum): (1) the engine writer emits
+    them at row-group/stripe/file tiers; (2) ORC C++-written files
+    parse identically (cross-impl, equal to summation-order ulp);
+    (3) read_orc_dir_stats(sums=...) computes a whole-table float
+    SUM from ~KB file tails alone, float32 columns included;
+    (4) concat_orc adds input sums; (5) a non-finite sum is omitted
+    rather than emitted as inf (the float overflow convention)."""
+    from pyspark.sql import functions as F
+
+    from engine.orc_concat import concat_orc
+    from engine.orc_file import write_orc
+    from engine.orc_read import read_orc_tail
+    from jobs.orc_read import read_orc_dir_stats
+    from jobs.orc_write import write_orc_dir
+
+    n = 20_000
+    df = (spark.range(n)
+          .withColumn("x", F.col("id") * 0.25 - 100.0)
+          .withColumn("y", F.col("id").cast("float")))
+    out = tempfile.mkdtemp(prefix="tdsums_")
+    write_orc_dir(df.repartition(3), out, stripe_rows=4096).collect()
+    st = read_orc_dir_stats(spark, out, ["x"], sums=["x", "y"])
+    assert dict(st.dtypes)["sum_x"] == "double"
+    assert dict(st.dtypes)["sum_y"] == "double"
+    agg = st.agg(F.sum("n_rows").alias("n"),
+                 F.sum("sum_x").alias("sx"),
+                 F.sum("sum_y").alias("sy")).collect()[0]
+    want_x = 0.25 * (n * (n - 1) // 2) - 100.0 * n
+    want_y = float(n * (n - 1) // 2)
+    assert agg.n == n
+    assert abs(agg.sx - want_x) < 1e-6 * abs(want_x)
+    assert abs(agg.sy - want_y) < 1e-6 * abs(want_y)
+
+    # cross-impl: ORC C++'s DoubleStatistics sum, same field layout
+    v = np.arange(3000, dtype=np.float64) * 0.5 - 700.0
+    f_cpp = tempfile.mktemp(suffix=".orc")
+    orc.write_table(pa.table({"x": v}), f_cpp,
+                    compression="uncompressed")
+    got = read_orc_tail(f_cpp).file_stats()[1]["sum"]
+    assert abs(got - float(v.sum())) <= 1e-9 * abs(float(v.sum()))
+
+    # concat adds double sums across inputs
+    files = sorted(os.path.join(out, f) for f in os.listdir(out)
+                   if f.endswith(".orc"))
+    merged = tempfile.mktemp(suffix=".orc")
+    concat_orc(files, merged)
+    names = read_orc_tail(merged).types[0].field_names
+    ms = dict(zip(names, read_orc_tail(merged).file_stats()[1:]))
+    assert abs(ms["x"]["sum"] - want_x) < 1e-6 * abs(want_x)
+
+    # non-finite: a value set whose sum overflows to inf omits the
+    # sum but keeps min/max (mirrors the int64 overflow convention)
+    fo = tempfile.mktemp(suffix=".orc")
+    write_orc(pa.table({"b": np.full(4, 1.5e308)}), fo,
+              stripe_rows=2, row_index_stride=2)
+    so = read_orc_tail(fo).file_stats()[1]
+    assert "sum" not in so and so["max"] == 1.5e308
+    # and a sum-less input poisons the concatenated sum only
+    f_ok = tempfile.mktemp(suffix=".orc")
+    write_orc(pa.table({"b": np.arange(4, dtype=np.float64)}), f_ok,
+              stripe_rows=2, row_index_stride=2)
+    m2 = tempfile.mktemp(suffix=".orc")
+    concat_orc([fo, f_ok], m2)
+    s2 = read_orc_tail(m2).file_stats()[1]
+    assert "sum" not in s2 and s2["min"] == 0.0
 
 
 def test_review_fixes_decimal_precision_zero_bloom_stats_domain(spark):
