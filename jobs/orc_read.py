@@ -88,9 +88,10 @@ _INT_RANK = {8: 0, 16: 1, 32: 2, 64: 3}  # bit width; ORC ints are signed
 
 def _widen_type(a: pa.DataType, b: pa.DataType) -> pa.DataType:
     """The wider of two ORC-file types along orc-core's
-    ConvertTreeReader widening axes — int8→int16→int32→int64 and
-    float→double — recursing through list/struct shapes. Anything
-    else (string vs int, narrowing would lose rows) raises: a mixed
+    ConvertTreeReader widening axes — int8→int16→int32→int64,
+    float→double, and decimal precision growth at equal scale —
+    recursing through list/struct shapes. Anything else (string vs
+    int, scale drift, narrowing would lose rows) raises: a mixed
     directory that far gone needs an explicit rewrite, not a guess."""
     if a.equals(b):
         return a
@@ -99,6 +100,11 @@ def _widen_type(a: pa.DataType, b: pa.DataType) -> pa.DataType:
             else b
     if pa.types.is_floating(a) and pa.types.is_floating(b):
         return a if a == pa.float64() else b
+    if pa.types.is_decimal(a) and pa.types.is_decimal(b) \
+            and a.scale == b.scale:
+        # precision growth only widens the digit budget: every value
+        # of the narrow file fits the wide type exactly
+        return a if a.precision >= b.precision else b
     if pa.types.is_large_list(a) and pa.types.is_large_list(b):
         return pa.large_list(_widen_type(a.value_type, b.value_type))
     if pa.types.is_struct(a) and pa.types.is_struct(b) and \

@@ -926,6 +926,31 @@ def test_type_widening_merged_schema(spark):
     sch2 = merged_orc_schema(files, spark=spark,
                              distributed_threshold=1)
     assert sch2.equals(sch)
+    # decimal precision growth widens at equal scale; scale drift
+    # does not (it would rescale values, not just re-budget digits)
+    import decimal as _dec
+    d3 = tempfile.mkdtemp(prefix="widen_dec_")
+    orc.write_table(pa.table({"m": pa.array(
+        [_dec.Decimal("1.25")], pa.decimal128(10, 2))}),
+        os.path.join(d3, "0.orc"))
+    orc.write_table(pa.table({"m": pa.array(
+        [_dec.Decimal("123456789012345678.50")],
+        pa.decimal128(20, 2))}), os.path.join(d3, "1.orc"))
+    sch3 = merged_orc_schema(list_orc_files(d3))
+    assert sch3.field("m").type == pa.decimal128(20, 2)
+    from jobs.orc_read import read_orc_dir
+    got = read_orc_dir(spark, d3, merge_schemas=True).collect()
+    assert sorted(r["m"] for r in got) == [
+        _dec.Decimal("1.25"), _dec.Decimal("123456789012345678.50")]
+    d4 = tempfile.mkdtemp(prefix="widen_dec_bad_")
+    orc.write_table(pa.table({"m": pa.array(
+        [_dec.Decimal("1.25")], pa.decimal128(10, 2))}),
+        os.path.join(d4, "0.orc"))
+    orc.write_table(pa.table({"m": pa.array(
+        [_dec.Decimal("1.250")], pa.decimal128(10, 3))}),
+        os.path.join(d4, "1.orc"))
+    with pytest.raises(ValueError, match="not a widening"):
+        merged_orc_schema(list_orc_files(d4))
     # int vs string is not a widening — a directory that far gone
     # needs a rewrite, not a guess
     d2 = tempfile.mkdtemp(prefix="widen_bad_")
