@@ -499,6 +499,12 @@ def _stats_may_match(st: dict | None, op: str, val) -> bool:
         if val != val:
             return True
         mn, mx = float(mn), float(mx)
+    if op == "starts_with":
+        # every match lies in [val, increment(val)) lexicographically:
+        # the unit may match iff max >= val and min's prefix <= val
+        if not isinstance(val, str) or not isinstance(mn, str):
+            return True
+        return mx >= val and mn[:len(val)] <= val
     if op in ("=", "=="):
         return mn <= val <= mx
     if op == "<":

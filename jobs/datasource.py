@@ -101,6 +101,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -112,6 +113,9 @@ _FILTER_OPS = {
     LessThan: "<",
     LessThanOrEqual: "<=",
     In: "in",
+    # prefix predicates prune on string min/max: every match lies in
+    # [prefix, increment(prefix)) lexicographically
+    StringStartsWith: "starts_with",
 }
 # valueless predicates: Catalyst emits IsNotNull alongside nearly
 # every comparison, and the hasNull/numberOfValues slots in
@@ -204,10 +208,11 @@ class OrcEngineDataSource(DataSource):
     (true: read exactly the ``_SUCCESS``-committed snapshot instead
     of the directory listing — stragglers and in-progress jobs in the
     same directory are invisible), ``filters`` (JSON conjunction of
-    ``[column, op, literal]`` triples, ops ``= < <= > >= in`` plus the
-    valueless ``is_null`` / ``not_null`` — those prune via the
-    hasNull/numberOfValues ColumnStatistics slots; nested fields as
-    dotted paths). Explicit ``filters`` prune
+    ``[column, op, literal]`` triples, ops ``= < <= > >= in
+    starts_with`` plus the valueless ``is_null`` / ``not_null`` —
+    nullness prunes via the hasNull/numberOfValues ColumnStatistics
+    slots, ``starts_with`` via string min/max prefix ranges; nested
+    fields as dotted paths). Explicit ``filters`` prune
     stripes/row-groups like pushed filters do, but live on THIS
     load()'s options — no global pushdown conf, no plan-reuse hazard
     — and are re-applied EXACTLY on the decoded batches inside
@@ -293,7 +298,8 @@ def _parse_option_filters(options) -> list[tuple]:
         val = item[2] if len(item) > 2 else None
         if op in ("is_null", "not_null"):
             out.append((col, op, None))
-        elif op in ("=", "==", "<", "<=", ">", ">=", "in"):
+        elif op in ("=", "==", "<", "<=", ">", ">=", "in",
+                    "starts_with"):
             out.append((col, op, tuple(val) if op == "in" else val))
         else:
             raise ValueError(f"filters option: unsupported op {op!r}")
@@ -323,6 +329,8 @@ def _apply_filters_exact(tbl, filters: list[tuple]):
             m = pc.greater(arr, val)
         elif op == ">=":
             m = pc.greater_equal(arr, val)
+        elif op == "starts_with":
+            m = pc.starts_with(arr, pattern=val)
         else:  # in
             import pyarrow as pa
             m = pc.is_in(arr, value_set=pa.array(list(val)))

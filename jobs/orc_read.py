@@ -446,6 +446,8 @@ def _filter_column(filters: list[tuple]):
             e = c == val
         elif op == "in":
             e = c.isin(list(val))
+        elif op == "starts_with":
+            e = c.startswith(val)
         elif op == "<":
             e = c < val
         elif op == "<=":

@@ -79,7 +79,9 @@ def _type_filter_literals(input_path: str,
     typed = []
     for name, op, val in filters:
         t = _resolve(name)
-        if val is None or t is None:
+        if val is None or t is None or op == "starts_with":
+            # a prefix is a string whatever the column; non-string
+            # columns keep (stats tier) and filter exactly downstream
             typed.append((name, op, val))
             continue
         if pa.types.is_integer(t) or pa.types.is_date(t):

@@ -99,13 +99,26 @@ def test_pushfilters_returns_all_filters(orc_dir):
 
 
 def test_filter_translation():
+    from pyspark.sql.datasource import StringStartsWith
     fs = _to_engine_filters([
         EqualTo(("doc_id",), "d"),
         GreaterThanOrEqual(("meta", "score"), 3),
         In(("n_tok",), (1, 2, 3)),
+        StringStartsWith(("doc_id",), "doc-0"),
     ])
     assert fs == [("doc_id", "=", "d"), ("meta.score", ">=", 3),
-                  ("n_tok", "in", (1, 2, 3))]
+                  ("n_tok", "in", (1, 2, 3)),
+                  ("doc_id", "starts_with", "doc-0")]
+
+
+def test_starts_with_option_filter(spark_ds, orc_dir):
+    """starts_with in the filters option prunes via string min/max
+    prefix ranges and re-applies exactly arrow-side."""
+    got = (spark_ds.read.format("orcx")
+           .option("filters", '[["doc_id", "starts_with", "doc-001"]]')
+           .load(orc_dir).collect())
+    assert len(got) == 100   # doc-00100 .. doc-00199
+    assert all(r["doc_id"].startswith("doc-001") for r in got)
 
 
 def test_projection_via_columns_option(spark_ds, orc_dir):

@@ -1332,6 +1332,51 @@ def test_in_filter_pushdown_all_tiers():
     os.unlink(f)
 
 
+def test_starts_with_pushdown_and_exact(spark):
+    """starts_with prunes at the stripe and row-group stats tiers via
+    the prefix range [p, increment(p)) against string min/max, stays
+    conservative (never drops a true match — incl. the min==prefix
+    and prefix-past-max edges), and read_orc_dir re-applies it
+    exactly (startswith residual)."""
+    from engine.orc_read import read_orc, stripes_matching
+    from jobs.orc_read import read_orc_dir
+
+    n = 8_000
+    # sorted keys: aa-0000 .. ah-0999, prefix blocks of 1000 = 1 stripe
+    keys = [f"{chr(97)}{chr(97 + i // 1000)}-{i % 1000:04d}"
+            for i in range(n)]
+    t = pa.table({"s": pa.array(keys),
+                  "i": pa.array(range(n), type=pa.int64())})
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, stripe_rows=1000, row_index_stride=500)
+    info = read_orc_tail(f)
+    assert stripes_matching(info, [("s", "starts_with", "ac")]) == [2]
+    assert stripes_matching(info, [("s", "starts_with", "a")]) \
+        == list(range(8))
+    assert stripes_matching(info, [("s", "starts_with", "zz")]) == []
+    # prefix equal to a stripe's min, and prefix of the global max
+    assert 0 in stripes_matching(info, [("s", "starts_with",
+                                         "aa-0000")])
+    assert 7 in stripes_matching(info, [("s", "starts_with",
+                                         "ah-0999")])
+    # row-group tier: a half-stripe prefix slice decodes <= 1 group
+    # (read_orc prunes a SUPERSET; exactness is the distributed
+    # reader's residual below)
+    got = read_orc(f, filters=[("s", "starts_with", "ad-00")])
+    assert got.num_rows <= 500
+    want = {k for k in keys if k.startswith("ad-00")}
+    assert want <= set(got.column("s").to_pylist())
+    os.unlink(f)
+
+    # distributed read: exact residual after pruning, both ops forms
+    d = tempfile.mkdtemp(prefix="swd_")
+    orc.write_table(t, os.path.join(d, "p.orc"))
+    df = read_orc_dir(spark, d, filters=[("s", "starts_with", "ae-01")])
+    rows = df.collect()
+    assert len(rows) == 100
+    assert all(r["s"].startswith("ae-01") for r in rows)
+
+
 def test_in_filter_distributed_exact(spark):
     """read_orc_dir applies 'in' exactly after pruning (isin residual),
     over files written by the engine's distributed writer."""
