@@ -251,7 +251,16 @@ def main():
     # (meaningless) headline.
     import statistics
     srows = rows
-    big = min(cores, 4)
+    # N vs 4N cores, default 2 vs 8 (r5): the 1-core leg of the old
+    # 1-vs-4 pair ran ~300 s — the longest exposure to this host's
+    # serialized fault path, which degraded 1-core legs (2.4 Mtok/s
+    # in a mid-window vs 7.7 quiet) without tripping the 0.6
+    # sys-ratio flag and deflated/inflated ratios at random. 2-vs-8
+    # keeps the same 4x parallelism ratio with ~3x shorter legs and
+    # tighter pair interleaving. Override with SPARK_GRAFT_SCALING_BIG
+    # (small = big // 4).
+    big = int(os.environ.get("SPARK_GRAFT_SCALING_BIG",
+                             str(min(cores, 8))))
     small = max(1, big // 4)
     # r5 (r4 verdict #3): >=3 interleaved pairs so one bad host window
     # cannot dominate the median
