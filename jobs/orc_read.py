@@ -142,12 +142,19 @@ def merged_orc_schema(files: list[str],
                 for p in batch.column("path").to_pylist():
                     buf = read_orc_tail(p).schema().serialize()
                     yield pa.RecordBatch.from_arrays(
-                        [pa.array([buf.to_pybytes()],
+                        [pa.array([p], type=pa.large_string()),
+                         pa.array([buf.to_pybytes()],
                                   type=pa.large_binary())],
-                        names=["schema"])
+                        names=["path", "schema"])
 
         rows = (paths.repartition(n_plan)
-                .mapInArrow(tails, "schema binary").collect())
+                .mapInArrow(tails, "path string, schema binary")
+                .collect())
+        # collect() order follows task/partition order, not the file
+        # listing: re-sort by the input list so "first-seen" field
+        # order (and thus the merged schema) is deterministic
+        order = {p: i for i, p in enumerate(files)}
+        rows.sort(key=lambda r: order[r["path"]])
         schemas = [pa.ipc.read_schema(pa.py_buffer(bytes(r["schema"])))
                    for r in rows]
     else:
