@@ -910,6 +910,26 @@ def _widened_dir():
     return d, n
 
 
+def test_merged_schema_distributed_order_deterministic(spark):
+    """The distributed tail probe must produce the SAME first-seen
+    field order as the threaded probe: collect() returns rows in
+    task order, not listing order, so the probe re-sorts by the
+    input file list. Ten files each adding a column makes any
+    ordering drift visible."""
+    from jobs.orc_read import list_orc_files, merged_orc_schema
+    d = tempfile.mkdtemp(prefix="merge_order_")
+    names = [f"c{i}" for i in range(10)]
+    for i in range(10):
+        cols = {n: pa.array([i], pa.int64()) for n in names[: i + 1]}
+        orc.write_table(pa.table(cols), os.path.join(d, f"{i}.orc"))
+    files = list_orc_files(d)
+    threaded = merged_orc_schema(files)
+    assert threaded.names == names  # first-seen == listing order
+    distributed = merged_orc_schema(files, spark=spark,
+                                    distributed_threshold=1)
+    assert distributed.equals(threaded)
+
+
 def test_type_widening_merged_schema(spark):
     """merged_orc_schema resolves int32/int64 and float32/float64
     drift to the widest type (orc-core ConvertTreeReader semantics),
