@@ -231,6 +231,30 @@ def test_merge_schema_type_widening(spark_ds, tmp_path):
     assert got == [(1, 0.5), (2, 1.5), (3 * 10 ** 10, 2.5)]
 
 
+def test_merge_schema_with_distributed_planning(spark_ds, tmp_path):
+    """merge_schema + distributed_planning compose: range splits
+    resolve their stripes task-side AND cast each file up to the
+    merged (widest, union-of-fields) schema, null-filling columns a
+    file predates."""
+    d = str(tmp_path / "dp_drift")
+    os.makedirs(d)
+    write_orc(pa.table({"id": pa.array([1, 2], pa.int32()),
+                        "x": pa.array([0.5, 1.5], pa.float32())}),
+              os.path.join(d, "part-0.orc"))
+    write_orc(pa.table({"id": pa.array([3, 4], pa.int64()),
+                        "x": pa.array([2.5, 3.5], pa.float64()),
+                        "extra": pa.array([7, 8], pa.int64())}),
+              os.path.join(d, "part-1.orc"))
+    df = (spark_ds.read.format("orcx")
+          .option("merge_schema", "true")
+          .option("distributed_planning", "true").load(d))
+    assert dict(df.dtypes) == {"id": "bigint", "x": "double",
+                               "extra": "bigint"}
+    got = sorted(map(tuple, df.collect()))
+    assert got == [(1, 0.5, None), (2, 1.5, None),
+                   (3, 2.5, 7), (4, 3.5, 8)]
+
+
 def test_write_read_by_orc_core(spark_ds, orc_dir, tmp_path):
     out = str(tmp_path / "out")
     df = spark_ds.read.format("orcx").load(orc_dir)
