@@ -20,6 +20,9 @@ Then run against any cluster master:
     spark-submit --py-files dist/engine.zip jobs/submit.py \
         import-orc --input <orc-dir> --output <parquet> \
         [--columns a,b] [--filter n_tok:>=:100]
+    spark-submit --py-files dist/engine.zip jobs/submit.py \
+        compact-orc --input <orc-dir> --output <orc-dir> \
+        [--target-mb 256]
 
 The zip contains the ``engine``, ``jobs`` and ``pipeline`` packages —
 no data, no state; executors import kernels from it.
