@@ -44,16 +44,25 @@ def _work(args):
     return ntok, time.perf_counter() - t0
 
 
-def measure(nproc: int, tokens_per: int = 20_000_000):
+def measure(nproc: int, tokens_per: int = 20_000_000,
+            rounds: int = 3):
+    """Best of ``rounds`` timed passes in ONE warmed pool: a single
+    pass can land in one of this host's serialized-fault-path spikes
+    (a degraded 1-process base then skews every efficiency-vs-1
+    ratio the probe reports); the max estimates the uncontended rate
+    the same way the pipeline legs take min-wall over rounds."""
     ctx = mp.get_context("fork")  # children inherit _TBL copy-on-write
+    best = 0.0
     with ctx.Pool(nproc) as pool:
         pool.map(_work, [(_slice_for(i, tokens_per)[0], 5000)
                          for i in range(nproc)])  # warm worker arenas
         jobs = [_slice_for(i, tokens_per) for i in range(nproc)]
-        t0 = time.perf_counter()
-        res = pool.map(_work, jobs)
-        wall = time.perf_counter() - t0
-    return sum(r[0] for r in res) / wall / 1e6
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            res = pool.map(_work, jobs)
+            wall = time.perf_counter() - t0
+            best = max(best, sum(r[0] for r in res) / wall / 1e6)
+    return best
 
 
 def main():
