@@ -127,7 +127,9 @@ def _merge_file_stats(infos: list[OrcFileInfo]) -> list[bytes]:
                     "be wrong — decode-and-rewrite this file instead")
             d = _parse_col_stats(info._file_stats_raw[ci])
             n += d["n"]
-            has_null = has_null or d["has_null"]
+            # absent hasNull (legacy third-party writer) reads as
+            # unknown -> conservatively true, like orc-core
+            has_null = has_null or d.get("has_null", True)
             if "sum" in d:
                 total += d["sum"]
             elif d["n"] > 0:
@@ -203,52 +205,68 @@ def concat_orc(in_paths: list[str], out_path: str) -> dict:
     metadata = b""
     total_rows = 0
     n_stripes = 0
-    with open(tmp, "wb") as out:
-        out.write(MAGIC)
-        pos = len(MAGIC)
-        for path, info, (_, meta, _wv) in zip(in_paths, infos, footers):
-            with open(path, "rb") as f:
-                for si in info.stripes:
-                    off, ilen, dlen, flen, rows = (si[1], si[2], si[3],
-                                                   si[4], si[5])
-                    f.seek(off)
-                    _copy_exact(f, out, ilen + dlen + flen, path)
-                    stripes_pb += pb_bytes(3, pb_varint(1, pos)
-                                           + pb_varint(2, ilen)
-                                           + pb_varint(3, dlen)
-                                           + pb_varint(4, flen)
-                                           + pb_varint(5, rows))
-                    pos += ilen + dlen + flen
-                    total_rows += rows
-                    n_stripes += 1
-            # per-stripe StripeStatistics copied raw, in stripe order
-            for fno, _, v in _fields(meta):
-                if fno == 1:
-                    metadata += pb_bytes(1, bytes(v))
-        content_len = pos
-        meta_region = region(metadata)
-        out.write(meta_region)
-        # type tree raw from the first input (semantic equality checked)
-        types_raw = b"".join(pb_bytes(4, bytes(v))
-                             for fno, _, v in _fields(footers[0][0])
-                             if fno == 4)
-        footer = pb_varint(1, len(MAGIC)) + pb_varint(2, content_len) \
-            + stripes_pb + types_raw + pb_varint(6, total_rows)
-        for cs in _merge_file_stats(infos):
-            footer += pb_bytes(7, cs)
-        footer += pb_varint(8, ref.row_index_stride)
-        if ref.writer:
-            footer += pb_varint(9, ref.writer)
-        footer = region(footer)
-        out.write(footer)
-        # writerVersion copied from the first input (reader quirk
-        # switches key off it; the copied stripes ARE that writer's)
-        ps = pb_varint(1, len(footer)) + pb_varint(2, ref.compression) \
-            + pb_varint(3, ref.block_size) + pb_varint(4, 0) \
-            + pb_varint(4, 12) + pb_varint(5, len(meta_region)) \
-            + pb_varint(6, footers[0][2]) + pb_bytes(8000, MAGIC)
-        out.write(ps)
-        out.write(bytes([len(ps)]))
+    try:
+        with open(tmp, "wb") as out:
+            out.write(MAGIC)
+            pos = len(MAGIC)
+            for path, info, (_, meta, _wv) in zip(in_paths, infos,
+                                                  footers):
+                with open(path, "rb") as f:
+                    for si in info.stripes:
+                        off, ilen, dlen, flen, rows = (
+                            si[1], si[2], si[3], si[4], si[5])
+                        f.seek(off)
+                        _copy_exact(f, out, ilen + dlen + flen, path)
+                        stripes_pb += pb_bytes(3, pb_varint(1, pos)
+                                               + pb_varint(2, ilen)
+                                               + pb_varint(3, dlen)
+                                               + pb_varint(4, flen)
+                                               + pb_varint(5, rows))
+                        pos += ilen + dlen + flen
+                        total_rows += rows
+                        n_stripes += 1
+                # per-stripe StripeStatistics copied raw, stripe order
+                for fno, _, v in _fields(meta):
+                    if fno == 1:
+                        metadata += pb_bytes(1, bytes(v))
+            content_len = pos
+            meta_region = region(metadata)
+            out.write(meta_region)
+            # type tree raw from the first input (semantic equality
+            # checked)
+            types_raw = b"".join(pb_bytes(4, bytes(v))
+                                 for fno, _, v in _fields(footers[0][0])
+                                 if fno == 4)
+            footer = pb_varint(1, len(MAGIC)) \
+                + pb_varint(2, content_len) \
+                + stripes_pb + types_raw + pb_varint(6, total_rows)
+            for cs in _merge_file_stats(infos):
+                footer += pb_bytes(7, cs)
+            footer += pb_varint(8, ref.row_index_stride)
+            if ref.writer:
+                footer += pb_varint(9, ref.writer)
+            footer = region(footer)
+            out.write(footer)
+            # writerVersion copied from the first input (reader quirk
+            # switches key off it; the copied stripes ARE that
+            # writer's)
+            ps = pb_varint(1, len(footer)) \
+                + pb_varint(2, ref.compression) \
+                + pb_varint(3, ref.block_size) + pb_varint(4, 0) \
+                + pb_varint(4, 12) + pb_varint(5, len(meta_region)) \
+                + pb_varint(6, footers[0][2]) + pb_bytes(8000, MAGIC)
+            out.write(ps)
+            out.write(bytes([len(ps)]))
+    except BaseException:
+        # unique-named tmps are never reused by a retry (unlike the
+        # old shared name): delete on ANY failure, or each failing
+        # attempt of a flaky compaction leaks a fresh orphan in the
+        # output directory
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     os.replace(tmp, out_path)
     return {"n_files": len(in_paths), "n_stripes": n_stripes,
             "n_rows": total_rows, "n_bytes": os.path.getsize(out_path)}

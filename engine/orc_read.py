@@ -302,7 +302,8 @@ class OrcFileInfo:
     def stripe_stats(self) -> list[list[dict]] | None:
         """Metadata section -> per-stripe, per-flattened-column stat
         dicts {n, has_null, min, max} (min/max only when the writer
-        emitted a typed sub-message). None when the file has no
+        emitted a typed sub-message; has_null only when it emitted
+        field 10 — absent means unknown). None when the file has no
         Metadata. Parsed lazily; the region is part of the tail, so
         tail-only planning (read_orc_tail) can prune stripes without
         touching any stripe bytes."""
@@ -337,9 +338,17 @@ def _zz(u: int) -> int:
 
 
 def _parse_col_stats(v) -> dict:
-    """One ColumnStatistics message -> {n, has_null, min, max}."""
+    """One ColumnStatistics message -> {n, has_null, min, max}.
+
+    ``has_null`` is set only when the optional hasNull field (10) is
+    actually present: orc-core treats a MISSING hasNull as
+    unknown-assume-true (pre-hasNull legacy writers), so the nullness
+    pruning tier must see "absent" — _stats_may_match's
+    ``st.get("has_null", True)`` default — not a fabricated False
+    that would let is_null prune stripes that DO hold nulls. (This
+    engine's own writer always emits field 10.)"""
     import struct
-    d = {"n": 0, "has_null": False}
+    d = {"n": 0}
     for f2, w2, v2 in _fields(v):
         if f2 == 1:
             d["n"] = v2

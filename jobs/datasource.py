@@ -300,6 +300,13 @@ def _parse_option_filters(options) -> list[tuple]:
             out.append((col, op, None))
         elif op in ("=", "==", "<", "<=", ">", ">=", "in",
                     "starts_with"):
+            if val is None:
+                # fail loud at planning: a missing/null literal would
+                # silently match zero rows downstream (SQL NULL
+                # comparison semantics via an all-null Arrow mask)
+                raise ValueError(
+                    f"filters option: op {op!r} on {col!r} needs a "
+                    "literal — [column, op, value]")
             out.append((col, op, tuple(val) if op == "in" else val))
         else:
             raise ValueError(f"filters option: unsupported op {op!r}")
@@ -354,16 +361,20 @@ class OrcEngineReader(DataSourceReader):
         from concurrent.futures import ThreadPoolExecutor
 
         from engine.orc_read import read_orc_tail, stripes_matching
-        from jobs.orc_read import list_orc_files
+        from jobs.orc_read import EmptyOrcDirError, list_orc_files
 
         use_m = self._options.get("use_manifest",
                                   "false").lower() == "true"
         try:
             files = list_orc_files(self._path, use_manifest=use_m)
-        except FileNotFoundError:
+        except EmptyOrcDirError:
             # reaching partitions() means the schema already resolved
-            # (user-supplied, or the directory emptied since planning):
-            # an empty scan is the valid result, not a crash
+            # (user-supplied, or the directory emptied since
+            # planning): ZERO files is a valid empty scan, not a
+            # crash. Only the emptiness sentinel maps here — the
+            # fail-loud corruption signals (no _SUCCESS manifest,
+            # manifest naming deleted files) must still raise, or a
+            # broken snapshot would read as silently empty.
             return [OrcInputPartition("", ())]
         target = int(float(self._options.get("split_mb", "64")) * (1 << 20))
 
@@ -514,7 +525,7 @@ def _read_split(partition: OrcInputPartition, schema: StructType,
 
 
 def _write_part(batches: Iterator, out_dir: str, options,
-                name: str) -> Optional[OrcCommitMessage]:
+                name: str) -> OrcCommitMessage:
     """Task-side part-file emission shared by batch and stream
     writers: buffer the task's batches (stripe-flush budget — see
     jobs/orc_write.py), write tmp, rename (atomic publish)."""
@@ -524,7 +535,12 @@ def _write_part(batches: Iterator, out_dir: str, options,
 
     parts = [b for b in batches if b.num_rows]
     if not parts:
-        return None
+        # an empty TASK is normal (selective filters, limit, empty
+        # epochs) and pyspark 4.1 requires write() to return a
+        # WriterCommitMessage — a None return kills the whole job
+        # with DATA_SOURCE_TYPE_MISMATCH. The empty-path sentinel
+        # publishes no file; commit()/abort() skip it.
+        return OrcCommitMessage(path="", n_rows=0, n_bytes=0)
     tbl = pa.Table.from_batches(parts)
     blooms = tuple(c.strip() for c in
                    options.get("bloom_columns", "").split(",") if c.strip())
@@ -561,12 +577,14 @@ class OrcEngineWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         os.makedirs(path, exist_ok=True)
 
-    def write(self, iterator: Iterator) -> Optional[OrcCommitMessage]:
+    def write(self, iterator: Iterator) -> OrcCommitMessage:
         return _write_part(iterator, self._dir, self._options,
                            _task_part_name())
 
     def commit(self, messages: List[Optional[OrcCommitMessage]]) -> None:
-        done = [m for m in messages if m is not None]
+        # skip empty-task sentinels (path="") and any None a future
+        # API version might surface
+        done = [m for m in messages if m is not None and m.path]
         kept = {m.path for m in done}
         if self._overwrite:
             # swap AFTER success: a crashed job leaves old data intact
@@ -581,7 +599,7 @@ class OrcEngineWriter(DataSourceArrowWriter):
 
     def abort(self, messages: List[Optional[OrcCommitMessage]]) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.path):
+            if m is not None and m.path and os.path.exists(m.path):
                 os.remove(m.path)
 
 
@@ -712,12 +730,12 @@ class OrcEngineStreamWriter(DataSourceStreamArrowWriter):
         self._schema = schema
         os.makedirs(path, exist_ok=True)
 
-    def write(self, iterator: Iterator) -> Optional[OrcCommitMessage]:
+    def write(self, iterator: Iterator) -> OrcCommitMessage:
         return _write_part(iterator, self._dir, self._options,
                            _task_part_name("stream"))
 
     def commit(self, messages, batchId: int) -> None:
-        done = [m for m in messages if m is not None]
+        done = [m for m in messages if m is not None and m.path]
         with open(os.path.join(self._dir,
                                f"_manifest-{batchId:010d}.json"), "w") as f:
             for m in done:
@@ -726,5 +744,5 @@ class OrcEngineStreamWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.path):
+            if m is not None and m.path and os.path.exists(m.path):
                 os.remove(m.path)

@@ -40,6 +40,16 @@ from jobs.table_io import _require_local
 SPLIT_DDL = "path string, stripe bigint, n_rows bigint"
 
 
+class EmptyOrcDirError(FileNotFoundError):
+    """A path that resolved but yielded ZERO .orc files — an empty
+    directory, a glob with no matches, or a legitimately-committed
+    empty snapshot (a write of zero rows publishes a manifest naming
+    no files). Distinct from plain FileNotFoundError so surfaces with
+    a user-supplied schema (orcx partitions()) can map *emptiness* to
+    a valid empty scan while the fail-loud corruption signals — no
+    _SUCCESS manifest, manifest naming deleted files — still raise."""
+
+
 def list_orc_files(path: str, use_manifest: bool = False) -> list[str]:
     """Deterministic file list for a directory, a glob, or one file.
 
@@ -67,6 +77,14 @@ def list_orc_files(path: str, use_manifest: bool = False) -> list[str]:
         if missing:
             raise FileNotFoundError(
                 f"manifest {m} names deleted files: {missing[:3]}")
+        if not files:
+            # a zero-row job commits a manifest naming no files: a
+            # valid (empty) snapshot, not corruption — the sentinel
+            # lets schema-supplied scans return empty instead of the
+            # files[0] IndexError this used to hit downstream
+            raise EmptyOrcDirError(
+                f"manifest {m} commits an empty snapshot "
+                "(zero files)")
         return files
     if os.path.isdir(path):
         found = sorted(glob.glob(os.path.join(path, "*.orc")))
@@ -74,11 +92,13 @@ def list_orc_files(path: str, use_manifest: bool = False) -> list[str]:
             # fail loud here, once, instead of the obscure downstream
             # crashes an empty listing used to cause (files[0] Index-
             # Error, ThreadPoolExecutor(max_workers=0), repartition(0))
-            raise FileNotFoundError(
+            raise EmptyOrcDirError(
                 f"directory {path!r} contains no .orc files")
         return found
     found = sorted(glob.glob(path))
     if not found:
+        if glob.has_magic(path):
+            raise EmptyOrcDirError(f"no ORC files match {path!r}")
         raise FileNotFoundError(f"no ORC files match {path!r}")
     return found
 

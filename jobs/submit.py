@@ -54,17 +54,23 @@ def package(repo_root: str | None = None, out: str | None = None) -> str:
 
 
 def _type_filter_literals(input_path: str,
-                          filters: list[tuple]) -> list[tuple]:
+                          filters: list[tuple],
+                          merge_schemas: bool = False) -> list[tuple]:
     """Coerce string CLI literals to the filter column's ORC kind
-    (probed from the first file's tail): int for integer/date kinds,
-    float for float/double, str for string kinds. Unknown columns or
-    kinds pass through unchanged (read_orc_dir raises/keeps)."""
+    (probed from the first file's tail, or — with ``merge_schemas`` —
+    from the union-of-fields, widest-of-types merged schema, so a
+    filter on a column only later generations carry still types): int
+    for integer/date kinds, float for float/double, str for string
+    kinds. Unknown columns or kinds pass through unchanged
+    (read_orc_dir raises/keeps)."""
     if not filters:
         return filters
     import pyarrow as pa
     from engine.orc_read import read_orc_tail
-    from jobs.orc_read import list_orc_files
-    schema = read_orc_tail(list_orc_files(input_path)[0]).schema()
+    from jobs.orc_read import list_orc_files, merged_orc_schema
+    files = list_orc_files(input_path)
+    schema = merged_orc_schema(files, spark=None) if merge_schemas \
+        else read_orc_tail(files[0]).schema()
     def _resolve(name):
         i = schema.get_field_index(name)
         if i >= 0:
@@ -176,6 +182,12 @@ def main(argv: list[str] | None = None) -> int:
     si.add_argument("--use-manifest", action="store_true",
                     help="read exactly the _SUCCESS-committed snapshot "
                          "instead of the directory listing")
+    si.add_argument("--merge-schemas", action="store_true",
+                    help="probe every file tail and read at the "
+                         "union-of-fields, widest-of-types schema "
+                         "(int8->int64 / float->double widening plus "
+                         "null-fill, orc-core ConvertTreeReader "
+                         "semantics)")
 
     sc = sub.add_parser("compact-orc")
     sc.add_argument("--input", required=True)
@@ -281,12 +293,14 @@ def main(argv: list[str] | None = None) -> int:
         # shape: an auto-int'd literal on a string column would feed a
         # type-mismatched value into the pruning tiers (and digit-only
         # string keys / float literals were inexpressible before)
-        filters = _type_filter_literals(a.input, filters) or None
+        filters = _type_filter_literals(
+            a.input, filters, merge_schemas=a.merge_schemas) or None
         df = read_orc_dir(spark, a.input, columns=cols,
                           parallelism=a.parallelism,
                           filters=filters,
                           allow_missing_columns=a.allow_missing_columns,
-                          use_manifest=a.use_manifest)
+                          use_manifest=a.use_manifest,
+                          merge_schemas=a.merge_schemas)
         df.write.mode("overwrite").parquet(a.output)
         n = spark.read.parquet(a.output).count()
         print(json.dumps({"rows": n, "output": a.output}))

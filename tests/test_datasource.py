@@ -374,6 +374,64 @@ def test_manifest_snapshot_read(spark_ds, orc_dir, tmp_path):
         list_orc_files(str(tmp_path), use_manifest=True)
 
 
+def test_manifest_corruption_raises_even_with_user_schema(
+        spark_ds, orc_dir, tmp_path):
+    """A user-supplied schema must NOT turn manifest fail-loud
+    signals into silent empty scans (r5 review): with .schema(...)
+    the DSv2 schema() probe never runs, so partitions() is the only
+    place the manifest errors can surface — a missing _SUCCESS or a
+    manifest naming deleted files has to raise there, while a
+    LEGITIMATELY empty snapshot (zero-row job commit) reads as an
+    empty scan."""
+    ddl = "doc_id string, n_tok int, score double, ts timestamp_ntz"
+    # no _SUCCESS at all: raise, don't return empty
+    bare = str(tmp_path / "bare")
+    os.makedirs(bare)
+    write_orc(pa.table({"doc_id": pa.array(["x"])}),
+              os.path.join(bare, "p.orc"))
+    with pytest.raises(Exception, match="_SUCCESS"):
+        (spark_ds.read.format("orcx").schema("doc_id string")
+         .option("use_manifest", "true").load(bare).count())
+    # manifest names a deleted file: raise, don't return empty
+    out = str(tmp_path / "snap2")
+    df = spark_ds.read.format("orcx").load(orc_dir).limit(50)
+    df.write.format("orcx").mode("overwrite").save(out)
+    victim = json.loads(
+        open(os.path.join(out, "_SUCCESS")).readline())["path"]
+    os.remove(victim)
+    with pytest.raises(Exception, match="deleted"):
+        (spark_ds.read.format("orcx").schema(ddl)
+         .option("use_manifest", "true").load(out).count())
+    # empty snapshot (zero-row write commits a manifest naming no
+    # files): a valid EMPTY scan with a user schema, a clear error
+    # without one (nothing to infer a schema from)
+    empty = str(tmp_path / "emptysnap")
+    (spark_ds.read.format("orcx").load(orc_dir).limit(0)
+     .write.format("orcx").mode("overwrite").save(empty))
+    assert os.path.getsize(os.path.join(empty, "_SUCCESS")) == 0
+    got = (spark_ds.read.format("orcx").schema(ddl)
+           .option("use_manifest", "true").load(empty))
+    assert got.count() == 0
+    with pytest.raises(Exception, match="empty snapshot"):
+        (spark_ds.read.format("orcx")
+         .option("use_manifest", "true").load(empty).count())
+
+
+def test_filters_option_missing_literal_fails_loud(spark_ds, orc_dir):
+    """A value-carrying op with no literal ([col, op] two-element
+    form) must raise at planning — the old silent val=None compared
+    NULL downstream and dropped every row (r5 review)."""
+    import json as _json
+    with pytest.raises(Exception, match="needs a literal"):
+        (spark_ds.read.format("orcx")
+         .option("filters", _json.dumps([["n_tok", ">="]]))
+         .load(orc_dir).collect())
+    with pytest.raises(Exception, match="needs a literal"):
+        (spark_ds.read.format("orcx")
+         .option("filters", _json.dumps([["n_tok", ">=", None]]))
+         .load(orc_dir).collect())
+
+
 def test_stream_reader_incremental_pickup(spark_ds, tmp_path):
     """readStream.format("orcx") tails a directory: each availableNow
     run consumes exactly the files published since the checkpoint's
@@ -640,6 +698,23 @@ def test_nullness_pushfilters_translation():
     from jobs.datasource import _to_engine_filters
     got = _to_engine_filters([IsNotNull(("v",)), IsNull(("m", "s"))])
     assert got == [("v", "not_null", None), ("m.s", "is_null", None)]
+
+
+def test_absent_has_null_field_keeps_unit():
+    """A ColumnStatistics message WITHOUT the optional hasNull field
+    (pre-hasNull legacy writers; orc-core treats missing as
+    unknown-assume-true) must KEEP the unit for is_null — the old
+    parse fabricated has_null=False and would prune stripes that do
+    hold nulls (r5 review). An explicit hasNull=false still prunes."""
+    from engine.orc_file import pb_varint
+    from engine.orc_read import _parse_col_stats, _stats_may_match
+    absent = _parse_col_stats(pb_varint(1, 10))        # n=10, no f10
+    assert "has_null" not in absent
+    assert _stats_may_match(absent, "is_null", None) is True
+    explicit = _parse_col_stats(pb_varint(1, 10) + pb_varint(10, 0))
+    assert explicit["has_null"] is False
+    assert _stats_may_match(explicit, "is_null", None) is False
+    assert _stats_may_match(absent, "not_null", None) is True
 
 
 def test_nullness_pushdown_prunes_row_groups(spark_ds, nullness_dirs):

@@ -190,6 +190,28 @@ def test_missing_footer_stats_fails_loud(tmp_path):
         _merge_file_stats([ia, ib])
 
 
+def test_failed_concat_cleans_its_tmp(tmp_path, monkeypatch):
+    """A concat that fails mid-write must delete its attempt-unique
+    temp file: unlike the old shared name, a retry never reuses it,
+    so every failing attempt of a flaky compaction would otherwise
+    leak a fresh orphan in the output directory (r5 review)."""
+    import engine.orc_concat as oc
+    a = str(tmp_path / "a.orc")
+    b = str(tmp_path / "b.orc")
+    write_orc(_mk(0), a)
+    write_orc(_mk(600), b)
+
+    def boom(infos):
+        raise ValueError("injected stats-merge failure")
+
+    monkeypatch.setattr(oc, "_merge_file_stats", boom)
+    out = str(tmp_path / "merged.orc")
+    with pytest.raises(ValueError, match="injected"):
+        concat_orc([a, b], out)
+    assert not os.path.exists(out)
+    assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]
+
+
 def test_concat_tmp_name_attempt_unique(tmp_path):
     """Concurrent attempts of one concat task write DISJOINT temp
     files: the temp path must not be deterministic (a shared tmp

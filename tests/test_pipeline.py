@@ -313,6 +313,54 @@ def test_submit_import_orc_typed_filters(spark, token_parquet, tmp_path):
     assert typed == [("doc_id", "=", "123"), ("n_tok", ">=", 100)]
 
 
+def test_submit_import_orc_merge_schemas(spark, token_parquet,
+                                         tmp_path):
+    """import-orc --merge-schemas reads a directory whose files drift
+    int->long on n_tok and grow a column, at the union-of-fields,
+    widest-of-types schema — and filter literals on the ADDED column
+    (absent from the first file's tail) type against the MERGED
+    schema, not the first file's."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from jobs.orc_write import write_orc_dir
+    from jobs.submit import _type_filter_literals
+    from jobs.submit import main as submit_main
+
+    tok = spark.read.parquet(token_parquet).select("doc_id", "n_tok")
+    d = str(tmp_path / "evolved")
+    gens = [
+        tok.where(F.col("n_tok") % 2 == 0).select(
+            "doc_id", F.col("n_tok").cast("int").alias("n_tok")),
+        tok.where(F.col("n_tok") % 2 == 1).select(
+            "doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+            (F.col("n_tok") * 2).cast("long").alias("flag")),
+    ]
+    os.makedirs(d)
+    for i, part in enumerate(gens):
+        sub = str(tmp_path / f"gen{i}")
+        write_orc_dir(part.repartition(2), sub).collect()
+        for f in glob.glob(f"{sub}/*.orc"):
+            shutil.move(f, f"{d}/gen{i}-{os.path.basename(f)}")
+    # literal on the generation-1-only column types as int via the
+    # merged schema (first-file probe would pass it through as str)
+    typed = _type_filter_literals(d, [("flag", ">=", "100")],
+                                  merge_schemas=True)
+    assert typed == [("flag", ">=", 100)]
+    out = str(tmp_path / "imp")
+    rc = submit_main(["import-orc", "--input", d, "--output", out,
+                      "--merge-schemas", "--filter", "flag:>=:100"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert dict(got.dtypes)["n_tok"] == "bigint"
+    want = (tok.where((F.col("n_tok") % 2 == 1)
+                      & (F.col("n_tok") * 2 >= 100)).count())
+    assert got.count() == want and want > 0
+    assert got.where(F.col("flag") < 100).count() == 0
+
+
 def test_submit_export_import_bloom_in_roundtrip(spark, token_parquet,
                                                  tmp_path):
     """export-orc --bloom-columns emits per-row-group blooms the
