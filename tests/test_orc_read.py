@@ -982,6 +982,38 @@ def test_type_widening_merged_schema(spark):
         merged_orc_schema(list_orc_files(d2))
 
 
+def test_type_widening_list_elements(spark):
+    """array<int32> -> array<int64> drift on a LIST column (the
+    tokens payload shape) widens through merged_orc_schema's
+    large_list recursion and casts up per file on BOTH read surfaces
+    — values past 2^31 survive."""
+    from engine.orc_file import write_orc as engine_write_orc
+    from jobs.orc_read import (list_orc_files, merged_orc_schema,
+                               read_orc_dir)
+    d = tempfile.mkdtemp(prefix="widen_list_")
+    engine_write_orc(pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "tokens": pa.array([[1, 2, 3], [4]], pa.list_(pa.int32()))}),
+        os.path.join(d, "0.orc"))
+    engine_write_orc(pa.table({
+        "doc_id": pa.array(["c"]),
+        "tokens": pa.array([[2 ** 40]], pa.list_(pa.int64()))}),
+        os.path.join(d, "1.orc"))
+    sch = merged_orc_schema(list_orc_files(d))
+    assert sch.field("tokens").type == pa.large_list(pa.int64())
+    want = [("a", [1, 2, 3]), ("b", [4]), ("c", [2 ** 40])]
+    got = read_orc_dir(spark, d, merge_schemas=True)
+    assert dict(got.dtypes)["tokens"] == "array<bigint>"
+    assert sorted((r.doc_id, list(r.tokens))
+                  for r in got.collect()) == want
+    from jobs.datasource import register
+    register(spark)
+    got2 = (spark.read.format("orcx")
+            .option("merge_schema", "true").load(d))
+    assert sorted((r.doc_id, list(r.tokens))
+                  for r in got2.collect()) == want
+
+
 def test_type_widening_read_orc_dir(spark):
     """read_orc_dir(merge_schemas=True) reads an int32->int64 +
     float32->float64 drifted directory at the widest schema, casting
