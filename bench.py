@@ -400,11 +400,24 @@ def main():
     # unexplained; the raw pair values stay in the full blob
     capped = [min(p, 1.0) for p in pair_eff]
     eff_median = statistics.median(capped)
+    # capability estimator: host noise is ONE-SIDED (rival load and
+    # the serialized fault path only ever SLOW a leg, never speed it
+    # up — pgmajfault 0 and identical inputs rule out any legitimate
+    # fast outlier), so the max over a config's legs estimates its
+    # uncontended throughput the same way min-over-rounds does within
+    # a leg. The big legs absorb ~2x the small legs' page faults
+    # (more workers -> more arena first-touches), so window
+    # degradation biases the PAIR median low; the best-leg ratio is
+    # the window-robust companion. Ships alongside (never instead of)
+    # the median, capped at 1.0 like the pairs.
+    eff_capability = min(
+        (max(thr[big]) / max(thr[small])) / (big / small), 1.0)
     result["scaling"] = {
         "cores_small": small, "cores_big": big, "rows": srows,
         "mtok_s_small": round(statistics.median(thr[small]) / 1e6, 2),
         "mtok_s_big": round(statistics.median(thr[big]) / 1e6, 2),
         "efficiency": round(eff_median, 3),
+        "efficiency_capability": round(eff_capability, 3),
         "pairs": {
             "median_raw": round(statistics.median(pair_eff), 3),
             "min": round(min(pair_eff), 3),
@@ -422,7 +435,12 @@ def main():
         "scaling_protocol":
             "same job, same input, live-measured this run; median of "
             "interleaved (small,big) pair ratios, pairs capped at 1.0 "
-            "for the headline (raw values here); each leg = min over "
+            "for the headline (raw values here); "
+            "efficiency_capability = best-leg-over-best-leg ratio "
+            "(noise is one-sided: it only slows legs, so max over a "
+            "config's legs estimates uncontended throughput — the "
+            "window-robust companion to the pair median); each leg = "
+            "min over "
             f"{leg_rounds} in-session rounds (round 2+ runs in the "
             "warm JVM, bounding first-touch-fault noise); median>1 OR "
             "pair spread>1.5 OR ANY leg sys/user>0.6 (serialized host "
