@@ -394,9 +394,12 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
         streams.append((DATA, data.tobytes()))
         pos = None
         if index and ng:
-            j = np.searchsorted(rstarts, vgb[:-1], side="right") - 1
-            pos = [[int(roffs[k]), int(vgb[i] - rstarts[k])]
-                   for i, k in enumerate(j)]
+            if rstarts.size == 0:      # every row null -> empty stream
+                pos = [[0, 0] for _ in range(ng)]
+            else:
+                j = np.searchsorted(rstarts, vgb[:-1], side="right") - 1
+                pos = [[int(roffs[k]), int(vgb[i] - rstarts[k])]
+                       for i, k in enumerate(j)]
         dense = t.mode == "dense"
         if dense:
             voffs = np.asarray(vals.offsets, dtype=np.int64)
@@ -423,10 +426,13 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
         streams.append((DATA, data.tobytes()))
         pos = None
         if index and ng:
-            bidx = vgb[:-1] // 8
-            j = np.searchsorted(rstarts, bidx, side="right") - 1
-            pos = [[int(roffs[k]), int(bidx[i] - rstarts[k]),
-                    int(vgb[i] % 8)] for i, k in enumerate(j)]
+            if rstarts.size == 0:      # every row null -> empty stream
+                pos = [[0, 0, 0] for _ in range(ng)]
+            else:
+                bidx = vgb[:-1] // 8
+                j = np.searchsorted(rstarts, bidx, side="right") - 1
+                pos = [[int(roffs[k]), int(bidx[i] - rstarts[k]),
+                        int(vgb[i] % 8)] for i, k in enumerate(j)]
         return done(K_BOOLEAN, ENC_DIRECT, pos=pos)
     if t == pa.int8():
         # tinyint DATA is byte-RLE, not RLEv2 (ORC spec; orc C++
@@ -436,9 +442,12 @@ def _encode_column(arr: pa.Array, ts_conv: str = "cpp",
         streams.append((DATA, data.tobytes()))
         pos = None
         if index and ng:
-            j = np.searchsorted(rstarts, vgb[:-1], side="right") - 1
-            pos = [[int(roffs[k]), int(vgb[i] - rstarts[k])]
-                   for i, k in enumerate(j)]
+            if rstarts.size == 0:      # every row null -> empty stream
+                pos = [[0, 0] for _ in range(ng)]
+            else:
+                j = np.searchsorted(rstarts, vgb[:-1], side="right") - 1
+                pos = [[int(roffs[k]), int(vgb[i] - rstarts[k])]
+                       for i, k in enumerate(j)]
         v = np.asarray(vals, dtype=np.int64)
         stat = _int_stat(v) if nv else None
         return done(K_BYTE, ENC_DIRECT, pos=pos, stat=stat,

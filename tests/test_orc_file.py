@@ -615,3 +615,29 @@ def test_double_decimal_blooms_consumed_by_orc_core(spark):
     # test_orc_read.py; the honest-bloom read above still pins the
     # emitted stream as well-formed for orc-core.
     assert spark.read.orc(d2).filter(f"amt = {amt_lit}").count() == 1
+
+
+def test_all_null_columns_with_row_index():
+    """Fuzz regression (tools/fuzz_cross_impl.py seed 425): a column
+    whose every row is null emits ZERO byte-RLE/bool runs, and the
+    run-structure ROW_INDEX position lookup indexed run[-1] of an
+    empty array (int8, boolean, and union-tag branches). The empty
+    stream's positions are [0, 0(, 0)] — a reader that decodes zero
+    values never consumes them. Verified through ORC C++ and this
+    engine's reader, index enabled."""
+    from engine.orc_read import read_orc
+    n = 25       # > 1 row group at stride 10 so positions matter
+    t = pa.table({
+        "i8": pa.array([None] * n, type=pa.int8()),
+        "b": pa.array([None] * n, type=pa.bool_()),
+        "l": pa.array([None] * n, type=pa.list_(pa.int64())),
+        "anchor": pa.array(range(n), type=pa.int32()),
+    })
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, row_index_stride=10)
+    _assert_equal(t, orc.read_table(f))
+    _assert_equal(t, read_orc(f))
+    # seek path: row-group pruning on the anchor column must still
+    # decode the all-null columns from their (empty-stream) positions
+    got = read_orc(f, filters=[("anchor", ">=", 20)])
+    assert got.num_rows <= n and got.column("i8").null_count == got.num_rows

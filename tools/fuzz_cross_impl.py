@@ -1,0 +1,398 @@
+"""Randomized cross-implementation fuzzer for the ORC writer/reader.
+
+Each seed builds a random schema + random data (nulls, extremes, RLE
+runs, ramps, NaN/inf, empty strings, long blobs) and checks four
+independent invariants against ORC C++ (pyarrow.orc):
+
+  A. engine write_orc -> ORC C++ read   == original   (writer interop)
+  B. ORC C++ write    -> engine read_orc == original  (reader interop)
+  C. engine write_orc -> engine read_orc == original  (self round-trip,
+     covers codecs/conventions the fuzz pool can't route through C++)
+  D. engine read_orc(filters=...) returns a SUPERSET of the exact
+     matches, and applying the exact predicate to the pruned batch
+     equals applying it to the original (statistics/bloom pruning
+     never drops a matching row).
+  E. the table split into random chunks, each written by the engine,
+     zero-decode-concatenated (engine.orc_concat.concat_orc), then
+     read back by BOTH readers == original (compactor interop).
+
+Value comparison is bit-exact: floats compare by IEEE bit pattern
+(NaN == NaN iff same bits; -0.0 != +0.0), everything else by Arrow
+logical equality on null-qualified python values.
+
+Usage:
+    python tools/fuzz_cross_impl.py --seeds 200 [--start 0] [-j 8]
+
+Prints one line per failure (seed + direction + diff head) and a
+summary; exit code 1 on any failure.  The deterministic seeds make
+every failure a one-line repro:
+    python tools/fuzz_cross_impl.py --seeds 1 --start <seed>
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import struct
+import sys
+import tempfile
+import traceback
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.orc as orc
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from engine.orc_file import write_orc
+from engine.orc_read import read_orc
+
+# ---------------------------------------------------------------- schema pool
+
+INT_TYPES = [pa.int8(), pa.int16(), pa.int32(), pa.int64()]
+SCALARS = INT_TYPES + [
+    pa.bool_(), pa.float32(), pa.float64(), pa.string(), pa.binary(),
+    pa.date32(), pa.timestamp("ns"),
+    pa.decimal128(9, 2), pa.decimal128(18, 0), pa.decimal128(38, 10),
+]
+NESTED = [
+    pa.list_(pa.int32()), pa.list_(pa.int64()), pa.list_(pa.string()),
+    pa.map_(pa.string(), pa.int64()),
+    pa.struct([("a", pa.int32()), ("b", pa.string())]),
+    pa.list_(pa.list_(pa.int64())),
+]
+
+
+def _rand_ints(rng: np.random.Generator, n: int, bits: int) -> np.ndarray:
+    """Mix of runs, ramps and raw values so every RLEv2 sub-encoding
+    (SHORT_REPEAT / DIRECT / DELTA / PATCHED_BASE) gets exercised."""
+    lo, hi = -(2 ** (bits - 1)), 2 ** (bits - 1) - 1
+    out = np.empty(n, dtype=np.int64)
+    i = 0
+    while i < n:
+        k = int(rng.integers(1, 64))
+        k = min(k, n - i)
+        mode = int(rng.integers(0, 5))
+        if mode == 0:                                   # constant run
+            out[i:i + k] = int(rng.integers(lo, hi + 1))
+        elif mode == 1:                                 # ramp (delta)
+            base = int(rng.integers(lo // 2, hi // 2))
+            step = int(rng.integers(-300, 301))
+            vals = base + step * np.arange(k, dtype=np.int64)
+            out[i:i + k] = np.clip(vals, lo, hi)
+        elif mode == 2:                                 # small + outliers
+            out[i:i + k] = rng.integers(0, min(512, hi + 1), size=k)
+            for j in range(0, k, 17):
+                out[i + j] = int(rng.integers(lo, hi + 1))
+        elif mode == 3:                                 # boundary values
+            out[i:i + k] = rng.choice(
+                np.array([lo, lo + 1, -1, 0, 1, hi - 1, hi], dtype=np.int64), k)
+        else:                                           # raw
+            out[i:i + k] = rng.integers(lo, hi + 1, size=k)
+        i += k
+    return out
+
+
+def _rand_strings(rng: np.random.Generator, n: int) -> list:
+    pool = ["", "a", "aa", "\x00nul", "é—unicode—😀", "x" * 300]
+    out = []
+    for _ in range(n):
+        m = int(rng.integers(0, 7))
+        if m < 2:
+            out.append(pool[int(rng.integers(0, len(pool)))])
+        elif m < 5:                                     # low-card (dictionary)
+            out.append(f"cat{int(rng.integers(0, 8))}")
+        else:
+            k = int(rng.integers(0, 40))
+            out.append("".join(chr(97 + int(c)) for c in rng.integers(0, 26, k)))
+    return out
+
+
+def _with_nulls(rng, vals, typ, p):
+    mask = rng.random(len(vals)) < p
+    arr = pa.array(vals, type=typ)
+    if mask.any():
+        arr = pc.if_else(pa.array(~mask), arr, pa.scalar(None, type=typ))
+    return arr
+
+
+def _rand_array(rng: np.random.Generator, typ: pa.DataType, n: int) -> pa.Array:
+    p_null = float(rng.choice([0.0, 0.0, 0.05, 0.3, 0.9]))
+    if pa.types.is_integer(typ):
+        vals = _rand_ints(rng, n, typ.bit_width).tolist()
+    elif pa.types.is_boolean(typ):
+        vals = (rng.random(n) < 0.5).tolist()
+    elif pa.types.is_floating(typ):
+        base = rng.normal(0, 1e6, n)
+        for j in range(0, n, 23):
+            base[j] = rng.choice([math.nan, math.inf, -math.inf, -0.0, 0.0,
+                                  1e-300, -1e300])
+        vals = [float(x) for x in base]
+        if typ == pa.float32():
+            vals = [struct.unpack("f", struct.pack("f", v))[0] for v in vals]
+    elif pa.types.is_string(typ):
+        vals = _rand_strings(rng, n)
+    elif pa.types.is_binary(typ):
+        vals = [bytes(rng.integers(0, 256, int(rng.integers(0, 50))).astype(np.uint8))
+                for _ in range(n)]
+    elif pa.types.is_date32(typ):
+        vals = rng.integers(-30000, 30000, n).tolist()
+        return _with_nulls(rng, pa.array(vals, pa.int32()).cast(typ).to_pylist(),
+                           typ, p_null)
+    elif pa.types.is_timestamp(typ):
+        ns = rng.integers(-2**53, 2**53, n)            # ~±104 days of years
+        for j in range(0, n, 13):
+            ns[j] = (ns[j] // 10**9) * 10**9           # whole seconds
+        return _with_nulls(rng, [int(x) for x in ns], pa.int64(), p_null).cast(typ)
+    elif pa.types.is_decimal(typ):
+        digits = min(typ.precision, 28)
+        mags = 10 ** rng.integers(0, digits, n)
+        raw = (rng.integers(-9, 10, n) * mags).astype(object)
+        from decimal import Decimal
+        q = Decimal(1).scaleb(-typ.scale)
+        vals = [Decimal(int(x)).scaleb(-typ.scale).quantize(q) for x in raw]
+    elif pa.types.is_list(typ):
+        lens = rng.integers(0, 9, n)
+        inner = _rand_array(rng, typ.value_type, int(lens.sum()))
+        offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        arr = pa.ListArray.from_arrays(pa.array(offs), inner)
+        mask = rng.random(n) < p_null
+        if mask.any():
+            # rebuild with validity (ListArray.from_arrays mask needs offsets=None trick)
+            pylist = arr.to_pylist()
+            pylist = [None if m else v for m, v in zip(mask, pylist)]
+            arr = pa.array(pylist, type=typ)
+        return arr
+    elif pa.types.is_map(typ):
+        rows = []
+        for _ in range(n):
+            if rng.random() < p_null:
+                rows.append(None)
+            else:
+                k = int(rng.integers(0, 5))
+                rows.append([(f"k{i}_{int(rng.integers(0,9))}",
+                              int(rng.integers(-100, 100))) for i in range(k)])
+        return pa.array(rows, type=typ)
+    elif pa.types.is_struct(typ):
+        rows = []
+        for _ in range(n):
+            if rng.random() < p_null:
+                rows.append(None)
+            else:
+                rows.append({"a": int(rng.integers(-1000, 1000)),
+                             "b": f"s{int(rng.integers(0, 20))}"})
+        return pa.array(rows, type=typ)
+    else:
+        raise AssertionError(f"no generator for {typ}")
+    return _with_nulls(rng, vals, typ, p_null)
+
+
+def rand_table(rng: np.random.Generator) -> pa.Table:
+    n = int(rng.choice([0, 1, 2, 7, 100, 1000, 25000]))
+    ncols = int(rng.integers(1, 6))
+    types = [SCALARS[int(rng.integers(0, len(SCALARS)))] for _ in range(ncols)]
+    if rng.random() < 0.6:
+        types.append(NESTED[int(rng.integers(0, len(NESTED)))])
+    cols = {f"c{i}": _rand_array(rng, t, n) for i, t in enumerate(types)}
+    return pa.table(cols)
+
+# ---------------------------------------------------------------- comparison
+
+
+def _bits(x, wide):
+    if x is None:
+        return None
+    return struct.pack("d" if wide else "f", x)
+
+
+def _canon(val, typ):
+    """Bit-exact canonical form: floats -> IEEE bytes, nested recurse."""
+    if val is None:
+        return None
+    if pa.types.is_floating(typ):
+        return _bits(val, typ == pa.float64())
+    if pa.types.is_list(typ):
+        return [_canon(v, typ.value_type) for v in val]
+    if pa.types.is_map(typ):
+        return [(k, _canon(v, typ.item_type)) for k, v in val]
+    if pa.types.is_struct(typ):
+        return {f.name: _canon(val.get(f.name), f.type) for f in typ}
+    return val
+
+
+def table_diff(expect: pa.Table, got: pa.Table) -> str | None:
+    if expect.schema.names != got.schema.names:
+        return f"schema names {expect.schema.names} != {got.schema.names}"
+    if expect.num_rows != got.num_rows:
+        return f"row count {expect.num_rows} != {got.num_rows}"
+    for name in expect.schema.names:
+        te = expect.schema.field(name).type
+        a = expect.column(name).combine_chunks()
+        b = got.column(name).combine_chunks()
+        if b.type != te:
+            try:
+                b = b.cast(te)
+            except Exception as e:
+                return f"{name}: type {b.type} vs {te} ({e})"
+        la, lb = a.to_pylist(), b.to_pylist()
+        for i, (x, y) in enumerate(zip(la, lb)):
+            if _canon(x, te) != _canon(y, te):
+                return f"{name}[{i}]: {x!r} != {y!r}"
+    return None
+
+# ---------------------------------------------------------------- directions
+
+
+def _engine_write(t: pa.Table, path: str, rng) -> None:
+    comp = str(rng.choice(["none", "zlib", "snappy", "lz4", "zstd"]))
+    write_orc(t, path,
+              stripe_rows=int(rng.choice([50, 999, 10_000, 1_000_000])),
+              row_index_stride=int(rng.choice([0, 1000, 10_000])),
+              compression=comp,
+              compression_block=int(rng.choice([1024, 64 * 1024])))
+
+
+def _cpp_write(t: pa.Table, path: str, rng) -> None:
+    orc.write_table(
+        t, path,
+        compression=str(rng.choice(
+            ["uncompressed", "zlib", "snappy", "lz4", "zstd"])),
+        stripe_size=int(rng.choice([64 * 1024, 4 * 1024 * 1024])),
+        dictionary_key_size_threshold=float(rng.choice([0.0, 0.8])),
+        row_index_stride=int(rng.choice([1000, 10000])))
+
+
+_OPS = ["=", ">", ">=", "<", "<=", "is_null", "not_null"]
+
+
+def _check_filters(t: pa.Table, path: str, rng) -> str | None:
+    """Direction D: pruned read must be a superset of exact matches."""
+    cands = [f for f in t.schema
+             if pa.types.is_integer(f.type) or pa.types.is_string(f.type)]
+    if not cands or t.num_rows == 0:
+        return None
+    f = cands[int(rng.integers(0, len(cands)))]
+    col = t.column(f.name).combine_chunks()
+    op = _OPS[int(rng.integers(0, len(_OPS)))]
+    if op in ("is_null", "not_null"):
+        lit = None
+        mask = pc.is_null(col) if op == "is_null" else pc.is_valid(col)
+    else:
+        vals = col.drop_null()
+        if len(vals) == 0:
+            return None
+        lit = vals[int(rng.integers(0, len(vals)))].as_py()
+        fn = {"=": pc.equal, ">": pc.greater, ">=": pc.greater_equal,
+              "<": pc.less, "<=": pc.less_equal}[op]
+        mask = pc.fill_null(fn(col, lit), False)
+    expect = t.filter(mask)
+    got = read_orc(path, filters=[(f.name, op, lit)])
+    if got.num_rows < expect.num_rows:
+        return (f"filter {f.name} {op} {lit!r}: pruned read has "
+                f"{got.num_rows} rows < {expect.num_rows} exact matches")
+    gcol = got.column(f.name).combine_chunks()
+    if op == "is_null":
+        gmask = pc.is_null(gcol)
+    elif op == "not_null":
+        gmask = pc.is_valid(gcol)
+    else:
+        gmask = pc.fill_null(fn(gcol, lit), False)
+    return table_diff(expect, got.filter(gmask))
+
+
+def run_seed(seed: int) -> list[str]:
+    rng = np.random.default_rng(seed)
+    fails = []
+    t = rand_table(rng)
+    with tempfile.TemporaryDirectory() as d:
+        ep, cp = os.path.join(d, "e.orc"), os.path.join(d, "c.orc")
+        # A: engine write -> C++ read
+        try:
+            _engine_write(t, ep, rng)
+            diff = table_diff(t, orc.ORCFile(ep).read())
+            if diff:
+                fails.append(f"A(engine->cpp): {diff}")
+        except Exception:
+            fails.append("A raised: " + traceback.format_exc(limit=3))
+        # C: engine write -> engine read (same file)
+        try:
+            diff = table_diff(t, read_orc(ep))
+            if diff:
+                fails.append(f"C(engine->engine): {diff}")
+        except Exception:
+            fails.append("C raised: " + traceback.format_exc(limit=3))
+        # D: filter pruning correctness on the engine file
+        try:
+            diff = _check_filters(t, ep, rng)
+            if diff:
+                fails.append(f"D(filters): {diff}")
+        except Exception:
+            fails.append("D raised: " + traceback.format_exc(limit=3))
+        # B: C++ write -> engine read
+        try:
+            _cpp_write(t, cp, rng)
+            diff = table_diff(t, read_orc(cp))
+            if diff:
+                fails.append(f"B(cpp->engine): {diff}")
+        except Exception:
+            fails.append("B raised: " + traceback.format_exc(limit=3))
+        # E: chunked engine writes -> zero-decode concat -> both readers
+        try:
+            from engine.orc_concat import concat_orc
+            if t.num_rows >= 2:
+                nch = int(rng.integers(2, 5))
+                cuts = sorted(rng.choice(
+                    range(1, t.num_rows), size=min(nch - 1, t.num_rows - 1),
+                    replace=False).tolist())
+                bounds = [0] + cuts + [t.num_rows]
+                comp = str(rng.choice(["none", "zlib", "zstd"]))
+                parts = []
+                for j in range(len(bounds) - 1):
+                    p = os.path.join(d, f"part{j}.orc")
+                    write_orc(t.slice(bounds[j], bounds[j + 1] - bounds[j]),
+                              p, compression=comp,
+                              stripe_rows=int(rng.choice([100, 10_000])))
+                    parts.append(p)
+                mp = os.path.join(d, "merged.orc")
+                concat_orc(parts, mp)
+                diff = table_diff(t, read_orc(mp))
+                if diff:
+                    fails.append(f"E(concat->engine): {diff}")
+                diff = table_diff(t, orc.ORCFile(mp).read())
+                if diff:
+                    fails.append(f"E(concat->cpp): {diff}")
+        except Exception:
+            fails.append("E raised: " + traceback.format_exc(limit=3))
+    return [f"seed={seed} {m}" for m in fails]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=50)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("-j", type=int, default=1)
+    args = ap.parse_args()
+    seeds = range(args.start, args.start + args.seeds)
+    fails: list[str] = []
+    if args.j > 1:
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=args.j) as ex:
+            for fl in ex.map(run_seed, seeds):
+                for m in fl:
+                    print("FAIL", m, flush=True)
+                fails.extend(fl)
+    else:
+        for s in seeds:
+            fl = run_seed(s)
+            for m in fl:
+                print("FAIL", m, flush=True)
+            fails.extend(fl)
+    print(f"fuzz: {len(seeds) if hasattr(seeds,'__len__') else args.seeds} seeds, "
+          f"{len(fails)} failures")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
