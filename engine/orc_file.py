@@ -801,6 +801,11 @@ def _bloom_index_pb(arr: pa.Array, col: _Col, stride: int,
         data, lens = st.arrow_bytes_lengths(_hive_decimal_strings(vals))
         boffs = np.concatenate(([0], np.cumsum(lens)))
     elif col.kind in (K_BYTE, K_SHORT, K_INT, K_LONG, K_DATE):
+        if pa.types.is_date32(vals.type):
+            # DATE hashes its days-since-epoch long (orc-core
+            # WriterImpl addLong(days)); Arrow has no direct
+            # date32->int64 cast, so hop through int32
+            vals = vals.cast(pa.int32())
         v = np.asarray(vals.cast(pa.int64()), dtype=np.int64)
     elif col.kind in (K_FLOAT, K_DOUBLE):
         # Java addDouble = addLong(doubleToLongBits(v)); float columns

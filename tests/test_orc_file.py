@@ -641,3 +641,26 @@ def test_all_null_columns_with_row_index():
     # decode the all-null columns from their (empty-stream) positions
     got = read_orc(f, filters=[("anchor", ">=", 20)])
     assert got.num_rows <= n and got.column("i8").null_count == got.num_rows
+
+
+def test_date_bloom_filter_emission_and_pruning():
+    """Fuzz regression (tools/fuzz_cross_impl.py seed 7 with blooms):
+    bloom_columns on a date32 column crashed — Arrow has no direct
+    date32->int64 cast. DATE blooms hash the days-since-epoch long
+    (orc-core WriterImpl addLong(days)); an equality literal inside
+    every row group's min/max but absent from the column must prune
+    via the bloom alone."""
+    from engine.orc_read import read_orc
+    days = np.tile(np.array([10, 500, 10000, -3000], dtype=np.int32),
+                   2500)
+    t = pa.table({
+        "d": pa.array(days, pa.int32()).cast(pa.date32()),
+        "anchor": pa.array(range(10000), pa.int64()),
+    })
+    f = tempfile.mktemp(suffix=".orc")
+    write_orc(t, f, row_index_stride=1000, bloom_columns=("d",))
+    _assert_equal(t, orc.read_table(f))          # C++ still reads it
+    assert read_orc(f, filters=[("d", "=", 500)]).num_rows == 10000
+    # 501 sits inside [-3000, 10000] so stats keep every group; only
+    # the bloom can prune it
+    assert read_orc(f, filters=[("d", "=", 501)]).num_rows == 0

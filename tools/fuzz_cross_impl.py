@@ -15,6 +15,8 @@ independent invariants against ORC C++ (pyarrow.orc):
   E. the table split into random chunks, each written by the engine,
      zero-decode-concatenated (engine.orc_concat.concat_orc), then
      read back by BOTH readers == original (compactor interop).
+  F. random column projection + random stripe subset on the engine
+     file == the same slice of the original (projection/seek interop).
 
 Value comparison is bit-exact: floats compare by IEEE bit pattern
 (NaN == NaN iff same bits; -0.0 != +0.0), everything else by Arrow
@@ -247,9 +249,20 @@ def table_diff(expect: pa.Table, got: pa.Table) -> str | None:
 
 def _engine_write(t: pa.Table, path: str, rng) -> None:
     comp = str(rng.choice(["none", "zlib", "snappy", "lz4", "zstd"]))
+    stride = int(rng.choice([0, 1000, 10_000]))
+    blooms = ()
+    if stride and rng.random() < 0.5:
+        cands = [f.name for f in t.schema
+                 if pa.types.is_integer(f.type) or pa.types.is_string(f.type)
+                 or pa.types.is_date32(f.type)]
+        if cands:
+            blooms = tuple(rng.choice(
+                cands, size=int(rng.integers(1, len(cands) + 1)),
+                replace=False).tolist())
     write_orc(t, path,
               stripe_rows=int(rng.choice([50, 999, 10_000, 1_000_000])),
-              row_index_stride=int(rng.choice([0, 1000, 10_000])),
+              row_index_stride=stride,
+              bloom_columns=blooms,
               compression=comp,
               compression_block=int(rng.choice([1024, 64 * 1024])))
 
@@ -338,6 +351,34 @@ def run_seed(seed: int) -> list[str]:
                 fails.append(f"B(cpp->engine): {diff}")
         except Exception:
             fails.append("B raised: " + traceback.format_exc(limit=3))
+        # F: projection + stripe-subset reads on the engine file
+        try:
+            from engine.orc_read import read_orc_info
+            names = list(t.schema.names)
+            k = int(rng.integers(1, len(names) + 1))
+            proj = sorted(rng.choice(names, size=k, replace=False).tolist(),
+                          key=names.index)
+            info = read_orc_info(ep)
+            nstripes = len(info.stripes)
+            # StripeInformation dicts keyed by proto field number;
+            # field 5 = number_of_rows
+            counts = [s[5] for s in info.stripes]
+            sidx = sorted(rng.choice(
+                nstripes, size=int(rng.integers(1, nstripes + 1)),
+                replace=False).tolist()) if nstripes else None
+            got = read_orc(ep, columns=proj, stripe_indices=sidx)
+            if sidx is None:
+                expect = t.select(proj)
+            else:
+                starts = np.concatenate(([0], np.cumsum(counts))).tolist()
+                pieces = [t.slice(starts[i], counts[i]) for i in sidx]
+                expect = pa.concat_tables(pieces).select(proj) if pieces \
+                    else t.slice(0, 0).select(proj)
+            diff = table_diff(expect, got)
+            if diff:
+                fails.append(f"F(projection/stripes): {diff}")
+        except Exception:
+            fails.append("F raised: " + traceback.format_exc(limit=3))
         # E: chunked engine writes -> zero-decode concat -> both readers
         try:
             from engine.orc_concat import concat_orc
@@ -368,11 +409,119 @@ def run_seed(seed: int) -> list[str]:
     return [f"seed={seed} {m}" for m in fails]
 
 
+# ------------------------------------------------------------- spark (orcx)
+
+# tz-naive timestamps read back through Spark in the session timezone
+# and unions don't exist in Spark's type system — keep those out of
+# the Spark-mode pool (both are covered engine-side above)
+SPARK_SCALARS = [t for t in SCALARS if not pa.types.is_timestamp(t)]
+
+
+def _spark_canon(v, typ):
+    import datetime
+    from decimal import Decimal
+    if v is None:
+        return None
+    if pa.types.is_floating(typ):
+        return _bits(float(v), typ == pa.float64())
+    if pa.types.is_binary(typ):
+        return bytes(v)
+    if pa.types.is_list(typ):
+        return tuple(_spark_canon(x, typ.value_type) for x in v)
+    if pa.types.is_map(typ):
+        items = v.items() if isinstance(v, dict) else v
+        return tuple(sorted((k, _spark_canon(x, typ.item_type))
+                            for k, x in items))
+    if pa.types.is_struct(typ):
+        d = v.asDict(recursive=False) if hasattr(v, "asDict") else dict(v)
+        return tuple((f.name, _spark_canon(d.get(f.name), f.type))
+                     for f in typ)
+    return v
+
+
+def _multiset(rows, schema, names):
+    from collections import Counter
+    return Counter(
+        tuple(_spark_canon(r[i], schema.field(n).type)
+              for i, n in enumerate(names)) for r in rows)
+
+
+def run_spark_seed(spark, seed: int) -> list[str]:
+    """One orcx end-to-end check: chunked engine files in a dir ->
+    spark.read.format('orcx') with a random projection and an exact
+    per-load `filters` option == the same operation on the original."""
+    import json as _json
+    rng = np.random.default_rng(10 ** 9 + seed)
+    n = int(rng.choice([1, 2, 97, 1000, 20000]))
+    ncols = int(rng.integers(1, 5))
+    types = [SPARK_SCALARS[int(rng.integers(0, len(SPARK_SCALARS)))]
+             for _ in range(ncols)]
+    if rng.random() < 0.5:
+        types.append(NESTED[int(rng.integers(0, len(NESTED)))])
+    t = pa.table({f"c{i}": _rand_array(rng, typ, n)
+                  for i, typ in enumerate(types)})
+    fails = []
+    with tempfile.TemporaryDirectory() as d:
+        nch = int(rng.integers(1, 4))
+        bounds = np.linspace(0, n, nch + 1).astype(int)
+        for j in range(nch):
+            write_orc(t.slice(bounds[j], bounds[j + 1] - bounds[j]),
+                      os.path.join(d, f"part-{j}.orc"),
+                      compression=str(rng.choice(["none", "zlib", "zstd"])),
+                      row_index_stride=int(rng.choice([0, 1000])))
+        names = list(t.schema.names)
+        k = int(rng.integers(1, len(names) + 1))
+        proj = sorted(rng.choice(names, size=k, replace=False).tolist(),
+                      key=names.index)
+        reader = (spark.read.format("orcx")
+                  .option("columns", ",".join(proj)))
+        mask = None
+        fcands = [f.name for f in t.schema
+                  if pa.types.is_integer(f.type) or pa.types.is_string(f.type)]
+        if fcands and n and rng.random() < 0.7:
+            fc = fcands[int(rng.integers(0, len(fcands)))]
+            col = t.column(fc).combine_chunks()
+            vals = col.drop_null()
+            op = str(rng.choice(["=", ">=", "<", "not_null"]))
+            if op == "not_null":
+                lit = None
+                mask = pc.is_valid(col)
+            elif len(vals):
+                lit = vals[int(rng.integers(0, len(vals)))].as_py()
+                fn = {"=": pc.equal, ">=": pc.greater_equal, "<": pc.less}[op]
+                mask = pc.fill_null(fn(col, lit), False)
+            else:
+                op = None
+            if mask is not None:
+                reader = reader.option(
+                    "filters", _json.dumps([[fc, op, lit]]))
+        expect = (t.filter(mask) if mask is not None else t).select(proj)
+        try:
+            rows = reader.load(d).collect()
+        except Exception:
+            return [f"spark seed={seed} raised: "
+                    + traceback.format_exc(limit=3)]
+        got = _multiset(rows, expect.schema, proj)
+        want = _multiset([[row[p] for p in proj]
+                          for row in expect.to_pylist()],
+                         expect.schema, proj)
+        if got != want:
+            d1 = got - want
+            d2 = want - got
+            fails.append(f"spark seed={seed}: orcx multiset mismatch "
+                         f"(+{sum(d1.values())}/-{sum(d2.values())}): "
+                         f"extra={list(d1)[:2]} missing={list(d2)[:2]}")
+    return fails
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=50)
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("-j", type=int, default=1)
+    ap.add_argument("--spark", type=int, default=0,
+                    help="additionally run N orcx end-to-end seeds "
+                         "in one local Spark session")
     args = ap.parse_args()
     seeds = range(args.start, args.start + args.seeds)
     fails: list[str] = []
@@ -389,7 +538,20 @@ def main() -> int:
             for m in fl:
                 print("FAIL", m, flush=True)
             fails.extend(fl)
-    print(f"fuzz: {len(seeds) if hasattr(seeds,'__len__') else args.seeds} seeds, "
+    if args.spark:
+        from pyspark.sql import SparkSession
+        from jobs.datasource import register
+        spark = (SparkSession.builder.master("local[8]")
+                 .config("spark.sql.shuffle.partitions", "8")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        register(spark)
+        for s in range(args.start, args.start + args.spark):
+            fl = run_spark_seed(spark, s)
+            for m in fl:
+                print("FAIL", m, flush=True)
+            fails.extend(fl)
+        spark.stop()
+    print(f"fuzz: {args.seeds} engine seeds + {args.spark} orcx seeds, "
           f"{len(fails)} failures")
     return 1 if fails else 0
 
