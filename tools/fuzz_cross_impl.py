@@ -446,10 +446,18 @@ def _multiset(rows, schema, names):
               for i, n in enumerate(names)) for r in rows)
 
 
+_WIDE = {pa.int8(): pa.int16(), pa.int16(): pa.int32(),
+         pa.int32(): pa.int64(), pa.float32(): pa.float64()}
+
+
 def run_spark_seed(spark, seed: int) -> list[str]:
     """One orcx end-to-end check: chunked engine files in a dir ->
     spark.read.format('orcx') with a random projection and an exact
-    per-load `filters` option == the same operation on the original."""
+    per-load `filters` option == the same operation on the original.
+    Randomly also: write through the orcx WRITE path instead of
+    write_orc; cross-read the dir with spark.read.orc (orc-core, a
+    third independent reader); widen one column's type in the later
+    chunks and read with merge_schema=true."""
     import json as _json
     rng = np.random.default_rng(10 ** 9 + seed)
     n = int(rng.choice([1, 2, 97, 1000, 20000]))
@@ -460,21 +468,47 @@ def run_spark_seed(spark, seed: int) -> list[str]:
         types.append(NESTED[int(rng.integers(0, len(NESTED)))])
     t = pa.table({f"c{i}": _rand_array(rng, typ, n)
                   for i, typ in enumerate(types)})
+    # pick one widenable column for the schema-drift variant
+    widen_col = next((f.name for f in t.schema if f.type in _WIDE), None)
+    do_widen = widen_col is not None and rng.random() < 0.4
+    orcx_write = not do_widen and rng.random() < 0.3
     fails = []
     with tempfile.TemporaryDirectory() as d:
-        nch = int(rng.integers(1, 4))
-        bounds = np.linspace(0, n, nch + 1).astype(int)
-        for j in range(nch):
-            write_orc(t.slice(bounds[j], bounds[j + 1] - bounds[j]),
-                      os.path.join(d, f"part-{j}.orc"),
-                      compression=str(rng.choice(["none", "zlib", "zstd"])),
-                      row_index_stride=int(rng.choice([0, 1000])))
+        if orcx_write:
+            # end-to-end write path: Arrow -> Spark df -> orcx sink
+            sdf = spark.createDataFrame(t) if n else \
+                spark.createDataFrame([], schema=spark.createDataFrame(
+                    t.slice(0, 0).to_pandas()).schema)
+            (sdf.write.format("orcx")
+                .option("compression", str(rng.choice(["zlib", "zstd"])))
+                .mode("overwrite").save(d))
+        else:
+            nch = int(rng.integers(1, 4))
+            bounds = np.linspace(0, n, nch + 1).astype(int)
+            for j in range(nch):
+                chunk = t.slice(bounds[j], bounds[j + 1] - bounds[j])
+                if do_widen and j == nch - 1:
+                    wt = _WIDE[t.schema.field(widen_col).type]
+                    chunk = chunk.set_column(
+                        chunk.schema.get_field_index(widen_col), widen_col,
+                        chunk.column(widen_col).cast(wt))
+                write_orc(chunk, os.path.join(d, f"part-{j}.orc"),
+                          compression=str(rng.choice(
+                              ["none", "zlib", "zstd"])),
+                          row_index_stride=int(rng.choice([0, 1000])))
+            if do_widen:
+                # expectation: the whole column reads back widened
+                wt = _WIDE[t.schema.field(widen_col).type]
+                t = t.set_column(t.schema.get_field_index(widen_col),
+                                 widen_col, t.column(widen_col).cast(wt))
         names = list(t.schema.names)
         k = int(rng.integers(1, len(names) + 1))
         proj = sorted(rng.choice(names, size=k, replace=False).tolist(),
                       key=names.index)
         reader = (spark.read.format("orcx")
                   .option("columns", ",".join(proj)))
+        if do_widen:
+            reader = reader.option("merge_schema", "true")
         mask = None
         fcands = [f.name for f in t.schema
                   if pa.types.is_integer(f.type) or pa.types.is_string(f.type)]
@@ -511,6 +545,26 @@ def run_spark_seed(spark, seed: int) -> list[str]:
             fails.append(f"spark seed={seed}: orcx multiset mismatch "
                          f"(+{sum(d1.values())}/-{sum(d2.values())}): "
                          f"extra={list(d1)[:2]} missing={list(d2)[:2]}")
+        if not do_widen and not orcx_write:
+            # third independent reader: orc-core via spark.read.orc
+            # over the engine-written dir, full-table compare
+            try:
+                jrows = spark.read.orc(d).collect()
+                jgot = _multiset([[getattr(r, c) for c in t.schema.names]
+                                  for r in jrows], t.schema,
+                                 list(t.schema.names))
+                jwant = _multiset([[row[c] for c in t.schema.names]
+                                   for row in t.to_pylist()], t.schema,
+                                  list(t.schema.names))
+                if jgot != jwant:
+                    d1, d2 = jgot - jwant, jwant - jgot
+                    fails.append(
+                        f"spark seed={seed}: orc-core read mismatch "
+                        f"(+{sum(d1.values())}/-{sum(d2.values())}): "
+                        f"extra={list(d1)[:2]} missing={list(d2)[:2]}")
+            except Exception:
+                fails.append(f"spark seed={seed} orc-core read raised: "
+                             + traceback.format_exc(limit=3))
     return fails
 
 
