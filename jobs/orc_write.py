@@ -22,6 +22,7 @@ swap-in for object stores is writing to the Hadoop FS API.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame
 
@@ -35,7 +36,8 @@ def write_orc_dir(df: DataFrame, out_dir: str,
                   timestamp_convention: str = "cpp",
                   row_index_stride: int = 10_000,
                   compression: str = "zlib",
-                  bloom_columns: tuple | list = ()) -> DataFrame:
+                  bloom_columns: tuple | list = (),
+                  timestamp_instant: bool = False) -> DataFrame:
     """Write ``df`` as a directory of ORC part-files, one per physical
     partition; returns the (lazy) per-file manifest DataFrame —
     ``.collect()`` it to run the write. Empty partitions emit nothing.
@@ -48,6 +50,9 @@ def write_orc_dir(df: DataFrame, out_dir: str,
     "zstd", "brotli", or "none" (engine.orc_file.write_orc).
     ``bloom_columns``: per-row-group BLOOM_FILTER_UTF8 streams for
     these columns (engine.orc_file.write_orc).
+    ``timestamp_instant``: emit tz-aware columns as TIMESTAMP_INSTANT
+    (engine.orc_file.write_orc — default off because Spark's own ORC
+    reader rejects instant columns).
     """
     out_dir = _require_local(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -63,13 +68,22 @@ def write_orc_dir(df: DataFrame, out_dir: str,
         pid = TaskContext.get().partitionId()
         tbl = pa.Table.from_batches(parts)
         path = os.path.join(out_dir, f"part-{pid:05d}.orc")
-        tmp = path + ".tmp"
-        write_orc(tbl, tmp, stripe_rows=stripe_rows,
-                  timestamp_convention=timestamp_convention,
-                  row_index_stride=row_index_stride,
-                  compression=compression,
-                  bloom_columns=tuple(bloom_columns))
-        os.replace(tmp, path)  # atomic publish, crash leaves no partials
+        # attempt-unique temp name: a speculative/retried attempt of
+        # the same partition must not interleave writes into a shared
+        # tmp file (same hazard engine/orc_concat.py fixed); the last
+        # os.replace wins atomically
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        try:
+            write_orc(tbl, tmp, stripe_rows=stripe_rows,
+                      timestamp_convention=timestamp_convention,
+                      row_index_stride=row_index_stride,
+                      compression=compression,
+                      bloom_columns=tuple(bloom_columns),
+                      timestamp_instant=timestamp_instant)
+            os.replace(tmp, path)  # atomic publish, no partials on crash
+        finally:
+            if os.path.exists(tmp):  # failed attempt: drop the partial
+                os.unlink(tmp)
         yield pa.RecordBatch.from_arrays(
             [pa.array([path]), pa.array([pid], type=pa.int64()),
              pa.array([tbl.num_rows], type=pa.int64()),

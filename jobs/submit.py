@@ -162,6 +162,10 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--compression", default="zlib",
                     choices=["zlib", "snappy", "lz4", "zstd", "brotli",
                              "none"])
+    so.add_argument("--timestamp-instant", action="store_true",
+                    help="emit tz-aware columns as TIMESTAMP_INSTANT "
+                         "(kind 18; ORC C++/orc-core read it, Spark's "
+                         "own ORC reader does not — see write_orc)")
 
     si = sub.add_parser("import-orc")
     si.add_argument("--input", required=True)
@@ -172,9 +176,10 @@ def main(argv: list[str] | None = None) -> int:
     si.add_argument("--filter", action="append", default=[],
                     metavar="COL:OP:VALUE",
                     help="pushdown predicate, repeatable (ops: = < <= "
-                         "> >= in is_null not_null; in takes a comma-"
-                         "separated list); pruned at stripe AND "
-                         "row-group tiers, re-applied exactly")
+                         "> >= in is_null not_null starts_with; in "
+                         "takes a comma-separated list); pruned at "
+                         "stripe AND row-group tiers, re-applied "
+                         "exactly")
     si.add_argument("--parallelism", type=int, default=None)
     si.add_argument("--allow-missing-columns", action="store_true",
                     help="null-fill projected columns absent from older "

@@ -56,6 +56,9 @@ INT_TYPES = [pa.int8(), pa.int16(), pa.int32(), pa.int64()]
 SCALARS = INT_TYPES + [
     pa.bool_(), pa.float32(), pa.float64(), pa.string(), pa.binary(),
     pa.date32(), pa.timestamp("ns"),
+    # tz-aware -> TIMESTAMP_INSTANT on the engine side (write_orc
+    # timestamp_instant=True below); ORC C++ reads/writes instants too
+    pa.timestamp("ns", "UTC"),
     pa.decimal128(9, 2), pa.decimal128(18, 0), pa.decimal128(38, 10),
 ]
 NESTED = [
@@ -247,8 +250,11 @@ def table_diff(expect: pa.Table, got: pa.Table) -> str | None:
 # ---------------------------------------------------------------- directions
 
 
-def _engine_write(t: pa.Table, path: str, rng) -> None:
-    comp = str(rng.choice(["none", "zlib", "snappy", "lz4", "zstd"]))
+def _engine_write(t: pa.Table, path: str, rng) -> str:
+    """Returns the chosen compression so the caller can skip the C++
+    read for kinds pyarrow's bundled ORC lacks (brotli = codec 6)."""
+    comp = str(rng.choice(["none", "zlib", "snappy", "lz4", "zstd",
+                           "brotli"]))
     stride = int(rng.choice([0, 1000, 10_000]))
     blooms = ()
     if stride and rng.random() < 0.5:
@@ -264,7 +270,9 @@ def _engine_write(t: pa.Table, path: str, rng) -> None:
               row_index_stride=stride,
               bloom_columns=blooms,
               compression=comp,
-              compression_block=int(rng.choice([1024, 64 * 1024])))
+              compression_block=int(rng.choice([1024, 64 * 1024])),
+              timestamp_instant=True)
+    return comp
 
 
 def _cpp_write(t: pa.Table, path: str, rng) -> None:
@@ -277,7 +285,8 @@ def _cpp_write(t: pa.Table, path: str, rng) -> None:
         row_index_stride=int(rng.choice([1000, 10000])))
 
 
-_OPS = ["=", ">", ">=", "<", "<=", "is_null", "not_null"]
+_OPS = ["=", ">", ">=", "<", "<=", "is_null", "not_null", "in",
+        "starts_with"]
 
 
 def _check_filters(t: pa.Table, path: str, rng) -> str | None:
@@ -289,30 +298,45 @@ def _check_filters(t: pa.Table, path: str, rng) -> str | None:
     f = cands[int(rng.integers(0, len(cands)))]
     col = t.column(f.name).combine_chunks()
     op = _OPS[int(rng.integers(0, len(_OPS)))]
+    if op == "starts_with" and not pa.types.is_string(f.type):
+        op = "="
+
+    def _mask(c, lit):
+        if op == "is_null":
+            return pc.is_null(c)
+        if op == "not_null":
+            return pc.is_valid(c)
+        if op == "in":
+            return pc.fill_null(pc.is_in(
+                c, value_set=pa.array(lit, f.type)), False)
+        if op == "starts_with":
+            return pc.fill_null(pc.starts_with(c, lit), False)
+        fn = {"=": pc.equal, ">": pc.greater, ">=": pc.greater_equal,
+              "<": pc.less, "<=": pc.less_equal}[op]
+        return pc.fill_null(fn(c, lit), False)
+
     if op in ("is_null", "not_null"):
         lit = None
-        mask = pc.is_null(col) if op == "is_null" else pc.is_valid(col)
     else:
         vals = col.drop_null()
         if len(vals) == 0:
             return None
-        lit = vals[int(rng.integers(0, len(vals)))].as_py()
-        fn = {"=": pc.equal, ">": pc.greater, ">=": pc.greater_equal,
-              "<": pc.less, "<=": pc.less_equal}[op]
-        mask = pc.fill_null(fn(col, lit), False)
-    expect = t.filter(mask)
+        if op == "in":
+            k = int(rng.integers(1, 6))
+            lit = [vals[int(rng.integers(0, len(vals)))].as_py()
+                   for _ in range(k)]
+        elif op == "starts_with":
+            s = vals[int(rng.integers(0, len(vals)))].as_py()
+            lit = s[:int(rng.integers(0, len(s) + 1))]
+        else:
+            lit = vals[int(rng.integers(0, len(vals)))].as_py()
+    expect = t.filter(_mask(col, lit))
     got = read_orc(path, filters=[(f.name, op, lit)])
     if got.num_rows < expect.num_rows:
         return (f"filter {f.name} {op} {lit!r}: pruned read has "
                 f"{got.num_rows} rows < {expect.num_rows} exact matches")
     gcol = got.column(f.name).combine_chunks()
-    if op == "is_null":
-        gmask = pc.is_null(gcol)
-    elif op == "not_null":
-        gmask = pc.is_valid(gcol)
-    else:
-        gmask = pc.fill_null(fn(gcol, lit), False)
-    return table_diff(expect, got.filter(gmask))
+    return table_diff(expect, got.filter(_mask(gcol, lit)))
 
 
 def run_seed(seed: int) -> list[str]:
@@ -321,12 +345,14 @@ def run_seed(seed: int) -> list[str]:
     t = rand_table(rng)
     with tempfile.TemporaryDirectory() as d:
         ep, cp = os.path.join(d, "e.orc"), os.path.join(d, "c.orc")
-        # A: engine write -> C++ read
+        # A: engine write -> C++ read (skipped for brotli: pyarrow's
+        # bundled ORC C++ has no codec 6; C still covers the file)
         try:
-            _engine_write(t, ep, rng)
-            diff = table_diff(t, orc.ORCFile(ep).read())
-            if diff:
-                fails.append(f"A(engine->cpp): {diff}")
+            ecomp = _engine_write(t, ep, rng)
+            if ecomp != "brotli":
+                diff = table_diff(t, orc.ORCFile(ep).read())
+                if diff:
+                    fails.append(f"A(engine->cpp): {diff}")
         except Exception:
             fails.append("A raised: " + traceback.format_exc(limit=3))
         # C: engine write -> engine read (same file)
@@ -394,7 +420,8 @@ def run_seed(seed: int) -> list[str]:
                     p = os.path.join(d, f"part{j}.orc")
                     write_orc(t.slice(bounds[j], bounds[j + 1] - bounds[j]),
                               p, compression=comp,
-                              stripe_rows=int(rng.choice([100, 10_000])))
+                              stripe_rows=int(rng.choice([100, 10_000])),
+                              timestamp_instant=True)
                     parts.append(p)
                 mp = os.path.join(d, "merged.orc")
                 concat_orc(parts, mp)
