@@ -71,6 +71,10 @@ def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
                 ml += b
                 if b != 255:
                     break
+        if max_size is not None and len(out) + ml > max_size:
+            # bound BEFORE copying: a corrupt match length must not
+            # allocate (up to 255x the chunk size) before the check
+            raise ValueError("lz4: output exceeds declared block size")
         if off >= ml:
             start = len(out) - off
             out += out[start:start + ml]
@@ -81,6 +85,4 @@ def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
             chunk = out[start:]
             reps, rem = divmod(ml, off)
             out += chunk * reps + chunk[:rem]
-        if max_size is not None and len(out) > max_size:
-            raise ValueError("lz4: output exceeds declared block size")
     return bytes(out)

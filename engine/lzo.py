@@ -127,6 +127,10 @@ def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
             s = op & 3
         if dist > len(out):
             raise ValueError(f"lzo: bad match distance {dist}")
+        if max_size is not None and len(out) + length > max_size:
+            # bound BEFORE copying: a corrupt match length must not
+            # allocate (up to 255x the chunk size) before the check
+            raise ValueError("lzo: output exceeds declared block size")
         start = len(out) - dist
         if dist >= length:
             out += out[start:start + length]

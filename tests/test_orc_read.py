@@ -1038,6 +1038,29 @@ def test_type_widening_read_orc_dir(spark):
     assert hit.count() == 10
 
 
+def test_block_decoders_bound_corrupt_match_lengths():
+    """lz4/lzo max_size must raise BEFORE the match copy: a corrupt
+    extension-inflated match length (255 added per extension byte) can
+    otherwise allocate ~255x the chunk size in one bound-unchecked
+    bytearray extend. Streams are hand-built per the public block
+    specs (lz4.org block format; the kernel's LZO1X doc)."""
+    from engine.lz4 import decompress_block as lz4_block
+    from engine.lzo import decompress_block as lzo_block
+    # LZO1X: 4-literal initial run, copy-4 @dist 1, end-of-stream
+    ok = bytes([21]) + b"abcd" + bytes([34, 0, 0]) + bytes([17, 0, 0])
+    assert lzo_block(ok) == b"abcddddd"
+    # zero-run length extension inflates the match to ~2.6k bytes
+    bad = bytes([21]) + b"abcd" + bytes([32]) + bytes(10) \
+        + bytes([1, 0, 0])
+    with pytest.raises(ValueError, match="exceeds declared"):
+        lzo_block(bad, max_size=100)
+    # LZ4: 4 literals, dist-1 match, 255-extension bytes -> ml 2066
+    l4 = bytes([0x4F]) + b"wxyz" + bytes([1, 0]) + bytes([255] * 8 + [7])
+    assert len(lz4_block(l4)) == 2070          # well-formed without bound
+    with pytest.raises(ValueError, match="exceeds declared"):
+        lz4_block(l4, max_size=64)
+
+
 def test_lzo_orc_read_java_writer(spark):
     """orc-core (aircompressor) LZO files — the engine's pure-Python
     LZO1X block decoder (engine/lzo.py) reads them bit-identically,
