@@ -536,6 +536,13 @@ def run_spark_seed(spark, seed: int) -> list[str]:
                   .option("columns", ",".join(proj)))
         if do_widen:
             reader = reader.option("merge_schema", "true")
+        if rng.random() < 0.3:
+            # range-split planner (zero driver tail I/O): must read
+            # the same multiset as the driver-side tail planner
+            reader = reader.option("distributed_planning", "true")
+        if rng.random() < 0.3:
+            # tiny split bins fan one file across many splits
+            reader = reader.option("split_mb", "1")
         mask = None
         fcands = [f.name for f in t.schema
                   if pa.types.is_integer(f.type) or pa.types.is_string(f.type)]
