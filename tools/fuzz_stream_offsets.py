@@ -118,7 +118,7 @@ def run_seed(seed: int) -> list[str]:
                 # microbatch(es)
                 for _ in range(int(rng.integers(1, 3))):
                     batch()
-            elif act < 0.88:
+            elif act < 0.85:
                 # retention: delete some already-consumed files
                 done_on_disk = [f for f in set(consumed)
                                 if os.path.exists(os.path.join(d, f))]
@@ -128,6 +128,19 @@ def run_seed(seed: int) -> list[str]:
                             size=int(rng.integers(1, len(done_on_disk) + 1)),
                             replace=False):
                         os.remove(os.path.join(d, str(f)))
+            elif act < 0.88:
+                # data loss: delete a published-but-unconsumed file (a
+                # misconfigured retention). The reader must neither
+                # crash nor wedge; the file just leaves the expected
+                # set. (Mid-call races — delete between a snapshot and
+                # its tail read — are out of model scope.)
+                pending = [f for f in published
+                           if f not in set(consumed)
+                           and os.path.exists(os.path.join(d, f))]
+                if pending:
+                    f = str(rng.choice(pending))
+                    os.remove(os.path.join(d, f))
+                    deleted_unconsumed.add(f)
             else:
                 # restart: new reader instance from the checkpoint
                 reader = OrcEngineStreamReader(d, None, options)
