@@ -54,6 +54,12 @@ _CODE_TO_WIDTH = np.array(FIXED_BITS, dtype=np.int64)
 _CODE_TO_WIDTH32 = _CODE_TO_WIDTH.astype(np.int32)
 _CLOSEST32 = _CLOSEST.astype(np.int32)
 
+# composed: raw bit length 0..64 -> 5-bit width code of the closest
+# fixed width, in ONE table gather (the planner's histogram pass runs
+# this over every value — two chained 14M-element gathers were a
+# profiled hotspot)
+_BITLEN_TO_CODE = _WIDTH_TO_CODE[_CLOSEST]
+
 
 def closest_fixed_bits(w):
     """Round raw bit width(s) up to ORC's fixed-bits set."""

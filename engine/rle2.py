@@ -158,10 +158,10 @@ def _plan(v: np.ndarray, zz: np.ndarray, aligned: bool):
         # DIRECT width for every literal window (also the fallback cost
         # for DELTA demotion), and DIRECT-vs-PATCHED via per-window hist
         zz_w = gather_spans(zz, ws, wl)
-        codes = bp._WIDTH_TO_CODE[bp._CLOSEST[vi.bit_length_u64(zz_w)]]
-        wid = np.repeat(np.arange(k), wl)
-        hist = np.bincount(wid * 32 + codes, minlength=k * 32) \
-            .reshape(k, 32)
+        codes = bp._BITLEN_TO_CODE[vi.bit_length_u64(zz_w)]
+        key = np.repeat(np.arange(k) * 32, wl)
+        np.add(key, codes, out=key)
+        hist = np.bincount(key, minlength=k * 32).reshape(k, 32)
         revcum = np.cumsum(hist[:, ::-1], axis=1)
         code100 = 31 - np.argmax(hist[:, ::-1] > 0, axis=1)
         allowed90 = (wl * 0.1).astype(np.int64)
@@ -186,12 +186,12 @@ def _plan(v: np.ndarray, zz: np.ndarray, aligned: bool):
             ok = (np.abs(pvmin) < BASE_VALUE_LIMIT) & \
                 ((pvmax.astype(np.float64) - pvmin.astype(np.float64))
                  < float(2 ** 62))
-            br = gather_spans(v, ps_, pl_) - np.repeat(pvmin, pl_)
-            bcodes = bp._WIDTH_TO_CODE[
-                bp._CLOSEST[vi.bit_length_u64(br.view(_U64))]]
-            bwid = np.repeat(np.arange(npw), pl_)
-            bhist = np.bincount(bwid * 32 + bcodes, minlength=npw * 32) \
-                .reshape(npw, 32)
+            br = gather_spans(v, ps_, pl_)
+            np.subtract(br, np.repeat(pvmin, pl_), out=br)
+            bcodes = bp._BITLEN_TO_CODE[vi.bit_length_u64(br.view(_U64))]
+            bkey = np.repeat(np.arange(npw) * 32, pl_)
+            np.add(bkey, bcodes, out=bkey)
+            bhist = np.bincount(bkey, minlength=npw * 32).reshape(npw, 32)
             brev = np.cumsum(bhist[:, ::-1], axis=1)
             allowed95 = (pl_ * 0.05).astype(np.int64)
             c95 = 31 - np.argmax(brev > allowed95[:, None], axis=1)
