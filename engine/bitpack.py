@@ -273,6 +273,17 @@ def packed_matrix(vals: np.ndarray, lens: np.ndarray, w: int
         if rows.shape[1] == int(nbytes[0]):
             return rows.reshape(-1), nbytes
         return rows[:, : int(nbytes[0])].reshape(-1), nbytes
+    if k > 1 and int(lens[:-1].min()) == int(lens[:-1].max()) == max_len:
+        # uniform except a short trailing remainder (a MAX_SCOPE split's
+        # natural shape): pack the contiguous full-window prefix via the
+        # reshape path and the tail alone — no (k, max) rectangle, no
+        # boolean masks
+        split = (k - 1) * max_len
+        rows = _pack_rows(vals[:split].reshape(k - 1, max_len), w)
+        if rows.shape[1] != int(nbytes[0]):
+            rows = np.ascontiguousarray(rows[:, : int(nbytes[0])])
+        tail = pack_bits(vals[split:], w)
+        return np.concatenate([rows.reshape(-1), tail]), nbytes
     mat = np.zeros((k, max_len), dtype=np.uint64)
     col = np.arange(max_len)
     valid = col[None, :] < lens[:, None]

@@ -125,13 +125,24 @@ def _plan(v: np.ndarray, zz: np.ndarray, aligned: bool):
     # --- literal stretches (consecutive runs shorter than MIN_REPEAT) ---
     small = ~big
     if small.any():
-        gid = np.cumsum(big)[small]
-        m = int(small.sum())
+        # adjacent small runs share a group iff no big run sits between
+        # them, i.e. their RUN indices are consecutive — index
+        # arithmetic on flatnonzero(small) replaces the full
+        # cumsum(big) group-id array (a profiled hotspot: token data
+        # is ~10M mostly-small runs), and each group's length is just
+        # last-run-end minus first-run-start (runs are contiguous), so
+        # the rlen[small] gather + reduceat drop out too
+        small_idx = np.flatnonzero(small)
+        m = small_idx.size
         first = np.ones(m, dtype=bool)
-        first[1:] = gid[1:] != gid[:-1]
+        first[1:] = small_idx[1:] != small_idx[:-1] + 1
         gfirst = np.flatnonzero(first)
-        s_starts = rstart[small][gfirst]
-        s_lens = np.add.reduceat(rlen[small], gfirst)
+        glast = np.empty(gfirst.size, dtype=np.int64)
+        glast[:-1] = gfirst[1:] - 1
+        glast[-1] = m - 1
+        rstart_ext = np.append(rstart, n)
+        s_starts = rstart[small_idx[gfirst]]
+        s_lens = rstart_ext[small_idx[glast] + 1] - s_starts
         ws, wl = _split_max(s_starts, s_lens, MAX_SCOPE)
         k = len(ws)
 
