@@ -308,6 +308,15 @@ def unpack_matrix(payload: np.ndarray, lens: np.ndarray, w: int) -> np.ndarray:
         # uniform windows: reshape is the inverse directly
         rows = payload.reshape(k, max_nb)
         return _unpack_rows(rows, max_len, w).reshape(-1)
+    if k > 1 and int(lens[:-1].min()) == int(lens[:-1].max()) == max_len:
+        # uniform except a short trailing remainder (a MAX_SCOPE
+        # split's natural shape): payload prefix rows are contiguous
+        # and equal-sized — reshape + one tail decode, no rectangle
+        split = (k - 1) * int(nbytes[0])
+        head = _unpack_rows(payload[:split].reshape(k - 1, int(nbytes[0])),
+                            max_len, w).reshape(-1)
+        tail = unpack_bits(payload[split:], int(lens[-1]), w)
+        return np.concatenate([head, tail])
     rows = np.zeros((k, max_nb), dtype=np.uint8)
     bcol = np.arange(max_nb)
     bvalid = bcol[None, :] < nbytes[:, None]

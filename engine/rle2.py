@@ -804,16 +804,17 @@ def decode_rlev2(buf, n: int, signed: bool = True,
     # ---- DELTA ------------------------------------------------------------
     dl = np.flatnonzero(tag == 3)
     if dl.size:
-        is_end = (bufarr & 0x80) == 0
-        pos_all = np.arange(m, dtype=np.int64)
-        A = np.where(is_end, pos_all, m)
-        term_pos = np.minimum.accumulate(A[::-1])[::-1]
-        term_dist = term_pos - pos_all + 1
-
+        # varint lengths of the two header varints, parsed only at the
+        # dl.size positions that need them (a 10-byte window argmax per
+        # chunk) — replaces four whole-buffer temporaries and a
+        # reversed minimum.accumulate that scaled with stream bytes,
+        # not DELTA chunk count
+        pad = np.zeros(m + 24, dtype=np.uint8)
+        pad[:m] = bufarr
         sd = starts[dl]
         cnt_d = counts[dl]
-        l1 = term_dist[sd + 2]
-        l2 = term_dist[sd + 2 + l1]
+        l1 = _varint_len_at(pad, sd + 2)
+        l2 = _varint_len_at(pad, sd + 2 + l1)
         base_u, _ = vi.decode_varints(gather_spans(bufarr, sd + 2, l1),
                                       dl.size)
         first_u, _ = vi.decode_varints(
