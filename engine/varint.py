@@ -23,13 +23,17 @@ _MASK7F = _U64(0x7F)
 def zigzag_encode(v: np.ndarray) -> np.ndarray:
     """int64 array -> uint64 zigzag codes (small magnitudes -> small)."""
     v = np.asarray(v, dtype=np.int64)
-    return ((v << 1) ^ (v >> 63)).view(np.uint64)
+    out = v << 1
+    np.bitwise_xor(out, v >> 63, out=out)  # reuse the shift buffer
+    return out.view(np.uint64)
 
 
 def zigzag_decode(u: np.ndarray) -> np.ndarray:
     """uint64 zigzag codes -> int64 values."""
     u = np.asarray(u, dtype=np.uint64)
-    return (u >> _U64(1)).view(np.int64) ^ -((u & _U64(1)).view(np.int64))
+    out = (u >> _U64(1)).view(np.int64)
+    np.bitwise_xor(out, -((u & _U64(1)).view(np.int64)), out=out)
+    return out
 
 
 def bit_length_u64(u: np.ndarray) -> np.ndarray:
