@@ -143,3 +143,39 @@ def test_packed_matrix_roundtrip(w):
     seg = payload[off: off + int(nbytes[2])]
     v2 = vals[int(lens[:2].sum()): int(lens[:3].sum())]
     assert np.array_equal(seg, pack_bits(v2, w))
+
+
+def test_bit_length_binade_boundaries():
+    """The IEEE-exponent fast path can only overestimate by 1, and only
+    when float64 rounding lands exactly on the next power of two; pin
+    every binade boundary from both sides plus the 2^64 ceiling."""
+    for k in range(1, 64):
+        one = np.uint64(1)
+        below = (one << np.uint64(k)) - np.arange(1, 100, dtype=np.uint64)
+        above = (one << np.uint64(k)) + np.arange(0, 100, dtype=np.uint64)
+        vals = np.concatenate([below, above])
+        expect = np.array([int(x).bit_length() for x in vals.tolist()])
+        assert np.array_equal(bit_length_u64(vals), expect), k
+    top = np.array([2**64 - 1, 2**64 - 2, 2**63, 2**63 - 1, 2**53,
+                    2**53 - 1, 2**53 + 1], dtype=np.uint64)
+    assert list(bit_length_u64(top)) == [64, 64, 64, 63, 54, 53, 54]
+
+
+def test_packed_matrix_uniform_prefix_tail_path():
+    """The uniform-except-trailing-remainder fast path (every MAX_SCOPE
+    split's shape) must match the per-window scalar reference exactly,
+    for byte-multiple, sub-byte, and odd widths."""
+    for w in (1, 2, 4, 7, 8, 16, 17, 24, 26, 32, 40, 64):
+        for k, full, tail in ((2, 512, 1), (5, 512, 511), (3, 8, 3),
+                              (2, 1, 1)):
+            lens = np.full(k, full, dtype=np.int64)
+            lens[-1] = tail
+            hi = 2**63 - 1 if w >= 63 else 2**w
+            vals = RNG.integers(0, hi, int(lens.sum()), dtype=np.uint64)
+            payload, nbytes = packed_matrix(vals, lens, w)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            ref = np.concatenate([pack_bits(vals[offs[i]:offs[i + 1]], w)
+                                  for i in range(k)])
+            assert np.array_equal(payload, ref), (w, k, full, tail)
+            assert np.array_equal(unpack_matrix(payload, lens, w), vals), \
+                (w, k, full, tail)
