@@ -90,30 +90,42 @@ def _plan(v: np.ndarray, zz: np.ndarray, aligned: bool):
     n = v.size
     d = np.empty(0, dtype=_I64) if n < 2 else (v[1:] - v[:-1])
 
-    newrun = np.empty(n, dtype=bool)
-    newrun[0] = True
-    if n > 1:
-        newrun[1:] = d != 0
-    rstart = np.flatnonzero(newrun)
-    rlen = np.diff(np.append(rstart, n))
-    big = rlen >= MIN_REPEAT
+    # Run detection finds only the runs that MATTER (length >= 3):
+    # rm[i] marks v[i..i+2] all equal, so a maximal equal-run of
+    # length L >= 3 is exactly a True-span of length L-2, and its
+    # boundary transitions are 2 entries per BIG run — token-like
+    # data has ~0.7n maximal runs, and materializing per-run
+    # start/length arrays (plus masks and group-id passes over them)
+    # was the planner's top cost. Everything between big runs is one
+    # literal stretch by construction.
+    if n >= MIN_REPEAT:
+        eq = d == 0
+        rm = eq[:-1] & eq[1:]
+        padded = np.zeros(rm.size + 2, dtype=bool)
+        padded[1:-1] = rm
+        t = np.flatnonzero(padded[1:] != padded[:-1])
+        bs = t[0::2]              # big-run starts
+        blen = t[1::2] + 2 - bs   # big-run lengths (>= 3)
+    else:
+        bs = np.zeros(0, dtype=np.int64)
+        blen = np.zeros(0, dtype=np.int64)
 
     kinds, starts, lens = [], [], []
     widths, deltas, lits, w95s = [], [], [], []
 
     # --- fixed runs ---
-    sr = big & (rlen <= MAX_SHORT_REPEAT)
-    if sr.any():
-        kinds.append(np.full(int(sr.sum()), _SR, dtype=np.int8))
-        starts.append(rstart[sr])
-        lens.append(rlen[sr])
-        widths.append(np.zeros(int(sr.sum()), dtype=np.int64))
-        deltas.append(np.zeros(int(sr.sum()), dtype=_I64))
-        lits.append(np.zeros(int(sr.sum()), dtype=bool))
-        w95s.append(np.zeros(int(sr.sum()), dtype=np.int64))
-    lg = big & ~sr
-    if lg.any():
-        ps, pl = _split_max(rstart[lg], rlen[lg], MAX_SCOPE)
+    srm = blen <= MAX_SHORT_REPEAT
+    if srm.any():
+        ns = int(srm.sum())
+        kinds.append(np.full(ns, _SR, dtype=np.int8))
+        starts.append(bs[srm])
+        lens.append(blen[srm])
+        widths.append(np.zeros(ns, dtype=np.int64))
+        deltas.append(np.zeros(ns, dtype=_I64))
+        lits.append(np.zeros(ns, dtype=bool))
+        w95s.append(np.zeros(ns, dtype=np.int64))
+    if not srm.all():
+        ps, pl = _split_max(bs[~srm], blen[~srm], MAX_SCOPE)
         kinds.append(np.full(len(ps), _DF, dtype=np.int8))
         starts.append(ps)
         lens.append(pl)
@@ -122,27 +134,13 @@ def _plan(v: np.ndarray, zz: np.ndarray, aligned: bool):
         lits.append(np.zeros(len(ps), dtype=bool))
         w95s.append(np.zeros(len(ps), dtype=np.int64))
 
-    # --- literal stretches (consecutive runs shorter than MIN_REPEAT) ---
-    small = ~big
-    if small.any():
-        # adjacent small runs share a group iff no big run sits between
-        # them, i.e. their RUN indices are consecutive — index
-        # arithmetic on flatnonzero(small) replaces the full
-        # cumsum(big) group-id array (a profiled hotspot: token data
-        # is ~10M mostly-small runs), and each group's length is just
-        # last-run-end minus first-run-start (runs are contiguous), so
-        # the rlen[small] gather + reduceat drop out too
-        small_idx = np.flatnonzero(small)
-        m = small_idx.size
-        first = np.ones(m, dtype=bool)
-        first[1:] = small_idx[1:] != small_idx[:-1] + 1
-        gfirst = np.flatnonzero(first)
-        glast = np.empty(gfirst.size, dtype=np.int64)
-        glast[:-1] = gfirst[1:] - 1
-        glast[-1] = m - 1
-        rstart_ext = np.append(rstart, n)
-        s_starts = rstart[small_idx[gfirst]]
-        s_lens = rstart_ext[small_idx[glast] + 1] - s_starts
+    # --- literal stretches (gaps between big runs) ---
+    g_start = np.concatenate(([0], bs + blen))
+    g_end = np.concatenate((bs, [n]))
+    gk = g_end > g_start
+    if gk.any():
+        s_starts = g_start[gk]
+        s_lens = g_end[gk] - s_starts
         ws, wl = _split_max(s_starts, s_lens, MAX_SCOPE)
         k = len(ws)
 
