@@ -221,7 +221,9 @@ class OrcEngineDataSource(DataSource):
 
     Write options: ``compression`` (zlib default | snappy | lz4 |
     zstd | brotli | none), ``stripe_rows``, ``row_index_stride``,
-    ``bloom_columns`` (comma-separated), ``timestamp_convention``.
+    ``bloom_columns`` (comma-separated), ``timestamp_convention``,
+    ``timestamp_instant`` (emit tz-aware columns as
+    TIMESTAMP_INSTANT, see ``engine.orc_file.write_orc``).
     """
 
     @classmethod
@@ -552,7 +554,9 @@ def _write_part(batches: Iterator, out_dir: str, options,
         timestamp_convention=options.get("timestamp_convention", "cpp"),
         row_index_stride=int(options.get("row_index_stride", "10000")),
         compression=options.get("compression", "zlib"),
-        bloom_columns=blooms)
+        bloom_columns=blooms,
+        timestamp_instant=options.get(
+            "timestamp_instant", "false").lower() == "true")
     os.replace(tmp, path)
     # mtime AT publish (os.replace keeps the tmp file's write-time
     # mtime): the stream reader's offset watermark depends on

@@ -748,3 +748,30 @@ def test_is_null_on_predated_column(spark_ds, tmp_path):
             .load(d).count() == 0)
     assert (base.option("filters", _json.dumps([["v", ">=", 1]]))
             .load(d).count() == 0)
+
+
+def test_write_timestamp_instant_option(spark_ds, tmp_path):
+    """The ``timestamp_instant`` write option reaches write_orc: tz-aware
+    (Spark LTZ) columns emit TIMESTAMP_INSTANT (kind 18) instead of the
+    default plain TIMESTAMP, and read back equal through orcx."""
+    from engine.orc_read import read_orc_tail
+    df = spark_ds.sql(
+        "select timestamp'2020-01-02 03:04:05.123456' as ts, 7 as id")
+    out = str(tmp_path / "ti")
+    (df.coalesce(1).write.format("orcx")
+     .option("timestamp_instant", "true").mode("overwrite").save(out))
+    f = [os.path.join(out, p) for p in os.listdir(out)
+         if p.endswith(".orc")]
+    assert len(f) == 1
+    kinds = {t.kind for t in read_orc_tail(f[0]).types}
+    assert 18 in kinds
+    back = spark_ds.read.format("orcx").load(out)
+    assert [tuple(r) for r in back.collect()] \
+        == [tuple(r) for r in df.collect()]
+    # default stays plain TIMESTAMP (kind 9) for spark.read.orc parity
+    out2 = str(tmp_path / "td")
+    df.coalesce(1).write.format("orcx").mode("overwrite").save(out2)
+    f2 = [os.path.join(out2, p) for p in os.listdir(out2)
+          if p.endswith(".orc")][0]
+    k2 = {t.kind for t in read_orc_tail(f2).types}
+    assert 9 in k2 and 18 not in k2
